@@ -313,7 +313,7 @@ object CoreQueries extends QueryPack {
 
     "q13_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
