@@ -13,8 +13,8 @@ Test / fork := true
 run / fork := true
 // Forked run output passes through raw (no sbt [info]/[error] prefixes) so
 // Bench's single JSON line lands on stdout exactly as printed.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

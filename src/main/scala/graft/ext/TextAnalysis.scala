@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension per SURVEY.md §0/§7: language-ID, quality
+  * scoring, token counting, document fingerprinting).
+  *
+  * Scale posture: every operator here is a per-row native Catalyst
+  * expression (split / higher-order array lambdas / regexp) — no UDFs, no
+  * shuffles, fully codegen'd and embarrassingly parallel, so throughput is
+  * bounded by scan speed at 100 TB. Aggregation happens only in the
+  * queries that consume these columns.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (documents.text is single-space separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def wsTokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish word-piece pattern: letter runs, digit runs, single other
+    * non-space symbols — a cheap proxy for subword token counting. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
+
+  /** Tiny per-language stopword profiles (public common-word lists) used
+    * by the stopword language-ID heuristic and quality scoring. */
+  val LangOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "un", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "les", "une", "et", "du", "est", "dans", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Count of tokens contained in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Stopword ratio against one language profile. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val toks = tokens(text)
+    stopwordHits(toks, Stopwords(lang)).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Fraction of characters that are neither [a-z0-9] nor space. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^a-z0-9 ]", "")))
+      .cast("double") / greatest(length(c), lit(1))
+
+  /** Mean token length in characters (chars minus separators / tokens). */
+  def meanTokenLen(c: Column): Column = {
+    val n = wsTokenCount(c)
+    (length(c) - n + lit(1)).cast("double") / greatest(n, lit(1))
+  }
+
+  /** Composite quality score in [0,1]: enough tokens, little punctuation
+    * noise, natural-language stopword presence. Rounded to 4dp so the
+    * value is reproducible across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(wsTokenCount(text).cast("double") / 80.0, lit(1.0))
+    val punct = punctRatio(text)
+    val stop = least(stopwordRatio(text, "en") * 5.0, lit(1.0))
+    round(lenScore * 0.4 + (lit(1.0) - punct) * 0.3 + stop * 0.3, 4)
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts,
+    * ties broken by [[LangOrder]] preference (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangOrder.map(l => l -> stopwordHits(toks, Stopwords(l)))
+    // case chain in preference order: first lang whose score is >= all others
+    scores.zipWithIndex.foldRight(lit(LangOrder.last)) {
+      case (((lang, score), _), rest) =>
+        val others = scores.collect { case (l2, s2) if l2 != lang => s2 }
+        when(others.map(score >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Hashes of `n`-token shingles (order-sensitive), engine-portable via
+    * [[Hashing.md5Long]]. Empty array when the doc has < n tokens. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => Hashing.md5Long(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): minima
+    * of sliding windows of `w` consecutive shingle hashes, deduplicated.
+    * Robust to local edits; the standard fingerprint for near-dup corpus
+    * indexing at scale. */
+  def fingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
+    val h = shingleHashes(text, n)
+    val wins = when(size(h) >= w,
+      transform(sequence(lit(1), size(h) - (w - 1)),
+        i => array_min(slice(h, i, lit(w)))))
+      .otherwise(when(size(h) > 0, array(array_min(h)))
+        .otherwise(array().cast("array<bigint>")))
+    array_distinct(wins)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis operators over `documents` (SURVEY.md §0:
+  * language-ID, quality scoring, token counting, fingerprinting), each
+  * oracle-checked. The oracles recompute the exact same expressions in
+  * DuckDB — engine-portable hashing via md5 (see graft.ext.Hashing).
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Token counting: whitespace + BPE-ish word-piece regex ----
+    "q30_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("sum_ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Quality scoring: length / punctuation / stopword ratios ----
+    "q31_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(round(avg(col("q")), 4).as("avg_quality"),
+          sum(when(col("q") >= 0.8, 1).otherwise(0)).as("n_high"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Language-ID heuristic: stopword-profile argmax ----
+    "q32_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // ---- Winnowing fingerprints over 3-token shingle hashes ----
+    "q33_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.fingerprints(col("text"), 3, 4)).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fp"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("source"))
+    })
+  )
+
+  /** DuckDB-side stopword-hit count for `lang` (shared SQL fragment). */
+  private def hitsSql(lang: String): String = {
+    val list = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), x -> list_contains([$list], x)))"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q30_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+        |    AS sum_bpe_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q31_quality_score" -> {
+      s"""WITH t AS (SELECT lang,
+         |  round(least(len(string_split(text, ' ')) / 80.0, 1.0) * 0.4
+         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+         |        / greatest(length(text), 1)) * 0.3
+         |    + least((${hitsSql("en")}
+         |        / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3, 4) AS q
+         |  FROM documents)
+         |SELECT lang, round(avg(q), 4) AS avg_quality,
+         |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |  count(*) AS n
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q32_lang_id" -> {
+      val langs = TextAnalysis.LangOrder
+      val scoreCols = langs.map(l => s"  ${hitsSql(l)} AS s_$l").mkString(",\n")
+      val caseArms = langs.init.map { l =>
+        val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"  WHEN $conds THEN '$l'"
+      }.mkString("\n")
+      s"""WITH t AS (SELECT lang,
+         |$scoreCols
+         |  FROM documents),
+         |p AS (SELECT lang, CASE
+         |$caseArms
+         |  ELSE '${langs.last}' END AS predicted FROM t)
+         |SELECT lang, predicted, count(*) AS n
+         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+
+    "q33_fingerprint" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT source,
+        |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT)
+        |  ELSE [] END AS h FROM toks),
+        |w AS (SELECT source, list_distinct(
+        |  CASE WHEN len(h) >= 4 THEN list_transform(generate_series(1, len(h) - 3),
+        |         i -> list_min(h[i:i+3]))
+        |       WHEN len(h) > 0 THEN [list_min(h)]
+        |       ELSE [] END) AS fps FROM sh),
+        |e AS (SELECT source, unnest(fps) AS fp FROM w)
+        |SELECT source, count(*) AS n_fp, count(DISTINCT fp) AS n_distinct_fp
+        |FROM e GROUP BY source ORDER BY source""".stripMargin
+  )
+}
