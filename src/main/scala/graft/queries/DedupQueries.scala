@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star deduplication operators over `documents` (SURVEY.md §0):
+  * exact/canonical, MinHash+LSH, SimHash, shingle-Jaccard with
+  * fingerprint-based candidate generation. Every hash is md5-derived so
+  * the DuckDB oracle reproduces results bit-for-bit.
+  */
+object DedupQueries extends QueryPack {
+
+  private val K = 16      // minhash signature length
+  private val Bands = 4   // LSH bands (4 rows per band)
+  private val ChunkBits = 8
+  private val NChunks = 4 // simhash banding: hamming ≤ 3 ⇒ shared chunk
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Exact + canonical (bag-of-words) dedup via hash groupBy ----
+    "q34_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"),
+          Dedup.contentKey(col("text")).as("ck"),
+          Dedup.bagOfWordsKey(col("text")).as("bk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("ck")).as("n_exact"),
+          countDistinct(col("bk")).as("n_bow"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- MinHash + LSH banding near-dup pairs, Jaccard-verified ----
+    "q35_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- SimHash near-dup pairs via chunk banding + Hamming verify ----
+    "q36_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+      val chunks = docs.select(col("doc_id"), col("sim"),
+        posexplode(Dedup.simhashChunks(col("sim"), ChunkBits, NChunks))
+          .as(Seq("c", "ck")))
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.ck") === col("b.ck")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          Dedup.hamming(col("a.sim"), col("b.sim")).as("ham"))
+        .distinct()
+      cand.filter(col("ham") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- Shingle-Jaccard near-dups, candidates via shared winnowing
+    //      fingerprints (equi-join — no all-pairs scan) ----
+    "q37_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        Dedup.distinctShingles(col("text"), 3).as("sh"))
+      val fps = docs.select(col("doc_id"),
+        explode(TextAnalysis.fingerprints(col("text"), 3, 4)).as("fp"))
+      val cand = fps.as("a")
+        .join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+        .withColumn("jacc", Dedup.jaccard(col("sha"), col("shb")))
+        .filter(col("jacc") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB fragment: engine-portable 60-bit md5 hash of a SQL expr. */
+  private def h(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Shared CTE: doc_id + distinct 3-token shingles. */
+  private val ShinglesCte =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
+       |    i -> array_to_string(tk[i:i+2], ' '))
+       |  ELSE [] END) AS sh FROM d)""".stripMargin
+
+  private val JaccSql =
+    """len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+      | / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q34_exact_dedup" ->
+      s"""SELECT lang, count(*) AS n,
+         |  count(DISTINCT md5(text)) AS n_exact,
+         |  count(DISTINCT ${h("array_to_string(list_sort(string_split(text, ' ')), ' ')")}) AS n_bow
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q35_minhash_lsh" -> {
+      val sigExprs = (0 until K).map(j =>
+        s"list_min(list_transform(sh, s -> ${h(s"'$j|' || s")}))").mkString(",\n    ")
+      val bandVals = (0 until Bands).map(b => s"($b)").mkString(", ")
+      s"""WITH $ShinglesCte,
+         |sig AS (SELECT doc_id, sh, [
+         |    $sigExprs] AS sig
+         |  FROM sh WHERE len(sh) > 0),
+         |bands AS (SELECT doc_id, bb.b,
+         |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
+         |  FROM sig, (VALUES $bandVals) AS bb(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id, $JaccSql AS jacc
+         |  FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id)
+         |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
+         |WHERE jacc >= 0.8 ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "q36_simhash" -> {
+      val bitExprs = (0 until 32).map(b =>
+        s"(CASE WHEN len(list_filter(h, x -> (x >> $b) % 2 = 1)) * 2 - len(h) > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString("\n    + ")
+      val chunkVals = (0 until NChunks).map(c => s"($c)").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |th AS (SELECT doc_id, list_transform(tk, t -> ${h("t")}) AS h FROM d),
+         |sim AS (SELECT doc_id, $bitExprs AS sim FROM th),
+         |chunks AS (SELECT doc_id, sim, cc.c, (sim >> (cc.c * $ChunkBits)) % ${1 << ChunkBits} AS ck
+         |  FROM sim, (VALUES $chunkVals) AS cc(c)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS ham
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, ham FROM cand WHERE ham <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "q37_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |hs AS (SELECT doc_id,
+         |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
+         |    i -> ${h("array_to_string(tk[i:i+2], ' ')")})
+         |  ELSE [] END AS h FROM d),
+         |w AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(h) >= 4 THEN list_transform(generate_series(1, len(h) - 3),
+         |         i -> list_min(h[i:i+3]))
+         |       WHEN len(h) > 0 THEN [list_min(h)]
+         |       ELSE [] END) AS fps FROM hs),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id, $JaccSql AS jacc
+         |  FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id)
+         |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
+         |WHERE jacc >= 0.6 ORDER BY a_id, b_id""".stripMargin
+  )
+}

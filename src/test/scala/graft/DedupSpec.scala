@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+
+  test("minhashLshPairs finds exact and near duplicates, skips distinct docs") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base + " tonight"),                      // near dup of 1/2
+      (4L, "completely different words entirely unrelated content here now ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.exists(p => p == (1L, 3L) || p == (2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard: exact formula on distinct arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.head.getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("simhash: identical text → hamming 0; different text → far") {
+    val df = Seq((base, base), (base, "xx yy zz ww vv uu tt ss rr qq"))
+      .toDF("a", "b")
+      .select(Dedup.hamming(Dedup.simhash(col("a")), Dedup.simhash(col("b"))).as("h"))
+    val hs = df.collect().map(_.getInt(0))
+    assert(hs(0) === 0)
+    assert(hs(1) > 3)
+  }
+
+  test("bagOfWordsKey is order-insensitive, contentKey is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
+      (Dedup.bagOfWordsKey(col("x")) === Dedup.bagOfWordsKey(col("y"))).as("bowEq"),
+      (Dedup.contentKey(col("x")) === Dedup.contentKey(col("y"))).as("ckEq"))
+    val r = df.head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+}
