@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.ext.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over `embeddings` (SURVEY.md §0):
+  * exact brute-force cosine top-k, LSH-bucketed approximate top-k, and
+  * embedding-cosine near-pair mining. Oracles reproduce every hash and
+  * fold bit-for-bit in DuckDB.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val Dims = 64      // embeddings.embedding is 64-dim (FIXTURES.md §6)
+  private val AnnPlanes = 8  // 256 buckets for top-k search
+  private val PairPlanes = 4 // 16 buckets for pair mining
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Exact baseline: brute-force cosine top-3 per query vector ----
+    "q38_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      Similarity.bruteForceTopK(e, q, 3)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // ---- Approximate scale path: top-3 within the 8-plane LSH bucket ----
+    "q39_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding"), AnnPlanes, Dims).as("bucket"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bucket").as("qb"))
+      val pairs = e.join(broadcast(q),
+          col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("qe"), col("embedding")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("vec_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // ---- Embedding-cosine near-pair mining via 4-plane bucket join ----
+    "q40_embedding_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding"), PairPlanes, Dims).as("bucket"))
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") >= 0.35)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Sequential-fold dot product (matches Spark's aggregate with 0.0
+    * init: 0.0 + x1 == x1 exactly, so list_reduce's x1-init agrees). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Projection onto the ±1 md5-derived hyperplane `p` (i is 1-based in
+    * SQL, the plane component uses the 0-based dim index). */
+  private def projSql(e: String, p: Int): String =
+    s"list_reduce(list_transform(generate_series(1, len($e)), " +
+      s"i -> $e[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5('$p,' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 1 " +
+      s"THEN 1.0 ELSE -1.0 END)), (acc, x) -> acc + x)"
+
+  private def bucketSql(e: String, planes: Int): String =
+    (0 until planes)
+      .map(p => s"(CASE WHEN ${projSql(e, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  override def oracles: Map[String, String] = Map(
+    "q38_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+         |p AS (SELECT q_id, vec_id, ${cosSql("qe", "embedding")} AS c
+         |  FROM q, e WHERE vec_id != q_id),
+         |r AS (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, round(c, 4) AS cos
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q39_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", AnnPlanes)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+         |  FROM e WHERE vec_id % 50 = 0),
+         |p AS (SELECT q_id, vec_id, ${cosSql("qe", "embedding")} AS c
+         |  FROM q JOIN e ON e.bucket = q.qb AND e.vec_id != q.q_id),
+         |r AS (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, round(c, 4) AS cos
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q40_embedding_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", PairPlanes)} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS c
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(c, 4) AS cos FROM p
+         |WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin
+  )
+}

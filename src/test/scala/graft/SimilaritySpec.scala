@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)
+    ).toDF("a", "b", "want")
+      .select(Similarity.cosine(col("a"), col("b")).as("got"), col("want"))
+    df.collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("lshBucket: deterministic, in range, identical vectors collide") {
+    val v = Seq.fill(64)(scala.util.Random.nextFloat())
+    val df = Seq(v, v).toDF("embedding")
+      .select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
+    val bs = df.collect().map(_.getInt(0))
+    assert(bs(0) === bs(1))
+    assert(bs(0) >= 0 && bs(0) < 256)
+  }
+
+  test("bruteForceTopK ranks the true nearest neighbour first") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val top = Similarity.bruteForceTopK(corpus, queries, 2)
+      .orderBy("rn").collect()
+    assert(top(0).getLong(2) === 1L) // closest to (1,0,0) is (0.9,0.1,0)
+    assert(top.length === 2)
+  }
+
+  test("planeComponent matches the SQL md5 definition") {
+    // md5("0,0") = d9d1...; engine-portable bit-0 must be stable
+    val all = for (p <- 0 until 8; i <- 0 until 64) yield Similarity.planeComponent(p, i)
+    assert(all.forall(c => c == 1.0 || c == -1.0))
+    assert(all.toSet.size === 2) // both signs occur
+  }
+}
