@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 3GPP TS 32.435 measurement-XML flatten (SURVEY.md §1.1/§2.1 S3).
+  *
+  * The reference walks `fileHeader/measCollec@beginTime` →
+  * `measData/measInfo` (×N) → `measValue` (×M) → `r` (×K) with a
+  * positional `measType@p → KPI name` dictionary per measInfo
+  * (reference dags/Dag2.py:84-132) in driver-side Python. Here the whole
+  * flatten is declarative Spark: `from_xml` + an explode chain, with the
+  * positional dictionary resolved per-row via `map_from_entries` +
+  * `element_at` — NO join, NO shuffle; the entire flatten is map-side
+  * and scales linearly with input bytes.
+  *
+  * Cleansing baked in per the reference's intent (SURVEY §2.11):
+  * NIL/NULL/empty/absent r-values → 0 then cast double
+  * (dags/Dag2.py:118, mypy/xmlonly.py:120), `UNKNOWN_{p}` name fallback
+  * (dags/Dag2.py:129), `nodeid` extraction (dags/Dag2.py:111).
+  */
+object XmlMeas {
+
+  /** Attributed text element: `<tag attr="...">text</tag>`. */
+  private def attrText(attrs: (String, DataType)*): StructType =
+    StructType(attrs.map { case (n, t) => StructField(s"_$n", t) } :+
+      StructField("_VALUE", StringType))
+
+  /** Schema of the measCollecFile payload (children of the root tag —
+    * `from_xml` parses the root element of the string as the row). */
+  val Schema: StructType = {
+    val granPeriod = StructType(Seq(
+      StructField("_duration", StringType),
+      StructField("_endTime", StringType)))
+    val measValue = StructType(Seq(
+      StructField("_measObjLdn", StringType),
+      StructField("r", ArrayType(attrText("p" -> StringType)))))
+    val measInfo = StructType(Seq(
+      StructField("_measInfoId", StringType),
+      StructField("job", StructType(Seq(StructField("_jobId", StringType)))),
+      StructField("granPeriod", granPeriod),
+      StructField("measType", ArrayType(attrText("p" -> StringType))),
+      StructField("measValue", ArrayType(measValue))))
+    val measData = StructType(Seq(
+      StructField("managedElement",
+        StructType(Seq(StructField("_localDn", StringType)))),
+      StructField("measInfo", ArrayType(measInfo))))
+    val fileHeader = StructType(Seq(
+      StructField("measCollec",
+        StructType(Seq(StructField("_beginTime", StringType))))))
+    StructType(Seq(
+      StructField("fileHeader", fileHeader),
+      StructField("measData", measData)))
+  }
+
+  /** NIL/NULL-string/empty/null → "0" (reference dags/Dag2.py:118 +
+    * FIXTURES.md §1 cases), then double. */
+  private def cleanValue(v: Column): Column =
+    when(v.isNull || trim(v).isin("NIL", "NULL", ""), lit("0"))
+      .otherwise(v).cast("double")
+
+  /** Flatten a DataFrame carrying one measCollecFile XML document per row
+    * into EAV KPI rows (superset of the three reference flows' schemas —
+    * callers project the variant they need, SURVEY §1.1).
+    *
+    * Output: `fileId, beginTime, localDn, measInfoId, jobId, granPeriod,
+    * endTime, measObjLdn, nodeid, kpiId, kpiName, kpiValue`.
+    */
+  def flatten(df: DataFrame, xmlCol: String, fileIdCol: String): DataFrame = {
+    val parsed = df.select(
+      col(fileIdCol).as("fileId"),
+      from_xml(col(xmlCol), Schema).as("x"))
+    val mi = parsed.select(
+      col("fileId"),
+      col("x.fileHeader.measCollec._beginTime").as("beginTime"),
+      col("x.measData.managedElement._localDn").as("localDn"),
+      explode(col("x.measData.measInfo")).as("mi"))
+    val mv = mi.select(
+      col("fileId"), col("beginTime"), col("localDn"),
+      col("mi._measInfoId").as("measInfoId"),
+      col("mi.job._jobId").as("jobId"),
+      col("mi.granPeriod._duration").as("granPeriod"),
+      col("mi.granPeriod._endTime").as("endTime"),
+      // positional dictionary measType@p → name, resolved per-row (no join)
+      map_from_entries(transform(col("mi.measType"),
+        t => struct(t.getField("_p"), t.getField("_VALUE")))).as("mt"),
+      explode(col("mi.measValue")).as("mv"))
+    val r = mv.select(
+      col("fileId"), col("beginTime"), col("localDn"), col("measInfoId"),
+      col("jobId"), col("granPeriod"), col("endTime"), col("mt"),
+      col("mv._measObjLdn").as("measObjLdn"),
+      explode(col("mv.r")).as("r"))
+    r.select(
+      col("fileId"), col("beginTime"), col("localDn"), col("measInfoId"),
+      col("jobId"), col("granPeriod"), col("endTime"), col("measObjLdn"),
+      // nodeid: split('=')[1].split(',')[0] intent (dags/Dag2.py:111);
+      // "" when no '=' (SURVEY §2.11)
+      regexp_extract(col("measObjLdn"), "=([^,]+)", 1).as("nodeid"),
+      col("r._p").as("kpiId"),
+      coalesce(element_at(col("mt"), col("r._p")),
+        concat(lit("UNKNOWN_"), col("r._p"))).as("kpiName"),
+      cleanValue(col("r._VALUE")).as("kpiValue"))
+  }
+
+  /** Read measCollecFile XML files from a directory (Spark 4 native XML
+    * source; `.gz` files decompress transparently via Hadoop codecs —
+    * covers the reference's gzip flow S4) and flatten. */
+  def readAndFlatten(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read
+      .option("wholetext", "true")
+      .text(path)
+      .withColumn("fileId", input_file_name())
+    flatten(raw, "value", "fileId")
+  }
+}

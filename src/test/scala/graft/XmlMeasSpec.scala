@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.XmlMeas
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** FIXTURES.md §1 sample + edge cases (NIL/NULL/empty values, UNKNOWN_p
+  * fallback, nodeid without '=', missing managedElement/job/granPeriod,
+  * multiple measInfo). */
+class XmlMeasSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sample =
+    """<measCollecFile xmlns="http://www.3gpp.org/ftp/specs/archive/32_series/32.435#measCollec">
+      |  <fileHeader><measCollec beginTime="2025-04-13T10:00:00Z"/></fileHeader>
+      |  <measData>
+      |    <managedElement localDn="SubNetwork=TN,ManagedElement=ME1"/>
+      |    <measInfo measInfoId="LTE_Cell">
+      |      <job jobId="job-1"/>
+      |      <granPeriod duration="PT900S" endTime="2025-04-13T10:15:00Z"/>
+      |      <measType p="1">FT_RRC_SUCCESS_RATE</measType>
+      |      <measType p="2">FT_S1_SUCCESS_RATE</measType>
+      |      <measValue measObjLdn="eNodeB=NODE42,Cell=7">
+      |        <r p="1">99.7</r>
+      |        <r p="2">NIL</r>
+      |      </measValue>
+      |    </measInfo>
+      |  </measData>
+      |</measCollecFile>""".stripMargin
+
+  private def flat(xml: String) =
+    XmlMeas.flatten(Seq((1, xml)).toDF("fid", "xml"), "xml", "fid")
+
+  test("FIXTURES sample: header join, dictionary, NIL→0, nodeid") {
+    val rows = flat(sample).orderBy("kpiId").collect()
+    assert(rows.length === 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("beginTime") === "2025-04-13T10:00:00Z")
+    assert(r1.getAs[String]("localDn") === "SubNetwork=TN,ManagedElement=ME1")
+    assert(r1.getAs[String]("measInfoId") === "LTE_Cell")
+    assert(r1.getAs[String]("jobId") === "job-1")
+    assert(r1.getAs[String]("granPeriod") === "PT900S")
+    assert(r1.getAs[String]("endTime") === "2025-04-13T10:15:00Z")
+    assert(r1.getAs[String]("nodeid") === "NODE42")
+    assert(r1.getAs[String]("kpiName") === "FT_RRC_SUCCESS_RATE")
+    assert(r1.getAs[Double]("kpiValue") === 99.7)
+    assert(rows(1).getAs[Double]("kpiValue") === 0.0) // NIL → 0
+  }
+
+  test("UNKNOWN_p fallback, NULL/empty values, no '=' in measObjLdn") {
+    val xml =
+      """<measCollecFile>
+        |<fileHeader><measCollec beginTime="t0"/></fileHeader>
+        |<measData><measInfo measInfoId="M">
+        |<measType p="1">A</measType>
+        |<measValue measObjLdn="PLAIN">
+        |<r p="1">NULL</r><r p="2"></r><r p="9">7</r>
+        |</measValue></measInfo></measData></measCollecFile>""".stripMargin
+    val rows = flat(xml).orderBy("kpiId").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Double]("kpiValue")).toSeq === Seq(0.0, 0.0, 7.0))
+    assert(rows(2).getAs[String]("kpiName") === "UNKNOWN_9")
+    assert(rows.forall(_.getAs[String]("nodeid") === ""))
+    assert(rows.forall(r => r.getAs[String]("localDn") == null)) // no managedElement
+  }
+
+  test("multiple measInfo / measValue explode to the full cross of r rows") {
+    val xml =
+      """<measCollecFile>
+        |<fileHeader><measCollec beginTime="t0"/></fileHeader>
+        |<measData>
+        |<measInfo measInfoId="A"><measType p="1">X</measType>
+        |<measValue measObjLdn="a=1"><r p="1">1</r></measValue>
+        |<measValue measObjLdn="a=2"><r p="1">2</r></measValue></measInfo>
+        |<measInfo measInfoId="B"><measType p="1">Y</measType>
+        |<measValue measObjLdn="b=1"><r p="1">3</r><r p="1">4</r></measValue></measInfo>
+        |</measData></measCollecFile>""".stripMargin
+    val rows = flat(xml).collect()
+    assert(rows.length === 4) // 2×1 + 1×2
+    assert(rows.map(_.getAs[Double]("kpiValue")).sorted.toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+}
