@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Structured-Streaming coverage with a DuckDB oracle (SURVEY.md §2.8
+  * ST10 — event-time windowed aggregation the reference lacks): the
+  * query materializes `events` as JSON files, drains them through a
+  * streaming file source into a tumbling-window aggregate (complete
+  * mode, AvailableNow trigger, memory sink), and the oracle computes
+  * the same aggregate relationally. Watermark/late-data semantics are
+  * covered by StreamingSpec (they drop rows by arrival order, which a
+  * batch oracle can't express).
+  */
+object StreamingQueries extends QueryPack {
+
+  private val EventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_stream_tumbling" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_stream_").toString
+      Tables.events(s, d).coalesce(1).write.mode("overwrite").json(s"$tmp/in")
+      val stream = s.readStream.schema(EventSchema).json(s"$tmp/in")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+      val mem = "q42_mem_" + UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      s.table(mem).orderBy(col("hour"), col("event_type"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q42_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin
+  )
+}

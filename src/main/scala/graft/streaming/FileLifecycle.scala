@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.IOUtils
+
+import java.io.InputStream
+import java.security.MessageDigest
+import java.util.zip.GZIPInputStream
+
+/** Per-file lifecycle utilities (SURVEY.md §2.8 ST7/ST8, §2.1 S4):
+  * content-hash-deduplicated backups, timestamped move-to-processed,
+  * post-run completeness audit, gzip extraction.
+  *
+  * The reference does all of this with `shutil`/`os` on a local disk
+  * (mypy/xmlonly.py:21-62, dags/Dag3.py:94-132); here it runs over the
+  * Hadoop FileSystem API so the same code works on HDFS/S3/local.
+  * At scale prefer source-managed archiving (`cleanSource=archive`,
+  * ST7) — these utilities exist for the reference's explicit
+  * backup/dedup/audit semantics, driven from `foreachBatch` where
+  * volumes are bounded by `maxFilesPerTrigger` (SURVEY §7.4 #4).
+  */
+final class FileLifecycle(conf: Configuration) {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** md5 hex of a file's content (streamed — constant memory). */
+  def contentMd5(file: Path): String = {
+    val in = fs(file).open(file)
+    try {
+      val md = MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](64 * 1024)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => md.update(buf, 0, n))
+      md.digest().map(b => f"$b%02x").mkString
+    } finally in.close()
+  }
+
+  /** Copy `file` into `backupDir` unless a backup with identical content
+    * already exists (md5 dedup, reference mypy/xmlonly.py:26-40). The
+    * backup name gets a `backup_<millis>_` prefix; name collisions get a
+    * counter suffix (dags/Dag3.py:119-125). Returns true if copied. */
+  def backupDeduped(file: Path, backupDir: Path, nowMillis: Long): Boolean = {
+    val bfs = fs(backupDir)
+    bfs.mkdirs(backupDir)
+    val srcMd5 = contentMd5(file)
+    val dup = Option(bfs.globStatus(new Path(backupDir, "backup_*")))
+      .getOrElse(Array.empty)
+      .exists(st => contentMd5(st.getPath) == srcMd5)
+    if (dup) false
+    else {
+      var target = new Path(backupDir, s"backup_${nowMillis}_${file.getName}")
+      var i = 1
+      while (bfs.exists(target)) {
+        target = new Path(backupDir, s"backup_${nowMillis}_${i}_${file.getName}")
+        i += 1
+      }
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs(file), file, bfs, target, false, conf)
+    }
+  }
+
+  /** Move `file` to `processedDir` with a `processed_<millis>_` prefix
+    * (reference mypy/xmlonly.py:51-62). Returns the target path. */
+  def moveProcessed(file: Path, processedDir: Path, nowMillis: Long): Path = {
+    val pfs = fs(processedDir)
+    pfs.mkdirs(processedDir)
+    val target = new Path(processedDir, s"processed_${nowMillis}_${file.getName}")
+    pfs.rename(file, target)
+    target
+  }
+
+  /** Post-run completeness audit (reference mypy/xmlonly.py:150-153):
+    * files still present in `inputDir` matching `glob` that were NOT
+    * processed — non-empty means the drain missed input. */
+  def auditRemaining(inputDir: Path, glob: String): Seq[Path] = {
+    val ifs = fs(inputDir)
+    if (!ifs.exists(inputDir)) Seq.empty
+    else Option(ifs.globStatus(new Path(inputDir, glob)))
+      .getOrElse(Array.empty).map(_.getPath).toSeq
+  }
+
+  /** Decompress every `*.gz` in `srcDir` into `outDir` (reference
+    * dags/Dag3.py:94-132); `x.xml.gz`→`x.xml`, `x.gz`→`x.xml`. Moves the
+    * archive to `doneDir`. Returns the number extracted. */
+  def gunzipAll(srcDir: Path, outDir: Path, doneDir: Path,
+      nowMillis: Long): Int = {
+    val sfs = fs(srcDir)
+    fs(outDir).mkdirs(outDir)
+    val gzs = Option(sfs.globStatus(new Path(srcDir, "*.gz")))
+      .getOrElse(Array.empty)
+    gzs.foreach { st =>
+      val name = st.getPath.getName
+      val outName =
+        if (name.endsWith(".xml.gz")) name.dropRight(3)
+        else name.dropRight(3) + ".xml"
+      val in: InputStream = new GZIPInputStream(sfs.open(st.getPath))
+      val out = fs(outDir).create(new Path(outDir, outName), true)
+      try IOUtils.copyBytes(in, out, 64 * 1024)
+      finally { in.close(); out.close() }
+      moveProcessed(st.getPath, doneDir, nowMillis)
+    }
+    gzs.length
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.runtime.Runner
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class RunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(2)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("retry: succeeds after transient failures, rethrows when exhausted") {
+    var n = 0
+    val got = Runner.retry(3, backoffMs = 1) {
+      n += 1; if (n < 3) sys.error("transient"); "ok"
+    }
+    assert(got === "ok" && n === 3)
+    intercept[RuntimeException] {
+      Runner.retry(2, backoffMs = 1) { sys.error("always") }
+    }
+  }
+
+  test("runIfNonEmpty: branch-if-empty semantics (O3)") {
+    var ran = 0
+    assert(!Runner.runIfNonEmpty(Seq.empty[Int].toDF("v")) { _ => ran += 1 })
+    assert(Runner.runIfNonEmpty(Seq(1).toDF("v")) { _ => ran += 1 })
+    assert(ran === 1)
+  }
+
+  test("runStages: failures isolated, aggregate = none-failed-min-one-success") {
+    var log = Vector.empty[String]
+    val (ok, rs) = Runner.runStages(Seq(
+      "a" -> (() => log :+= "a"),
+      "b" -> (() => sys.error("boom")),
+      "c" -> (() => log :+= "c")), attempts = 2, backoffMs = 1)
+    assert(!ok)
+    assert(log === Vector("a", "c"))          // c ran despite b failing
+    assert(rs.map(_.ok) === Seq(true, false, true))
+    assert(rs(1).attempts === 2)
+    val (ok2, _) = Runner.runStages(Seq("a" -> (() => ())))
+    assert(ok2)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.sinks.{KafkaJsonSink, TopicRouter}
+import graft.streaming.{FileLifecycle, FilePipeline, FilePipelineConfig}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val kpiSchema = StructType(Seq(
+    StructField("measObjLdn", StringType),
+    StructField("kpiId", StringType),
+    StructField("kpiValue", StringType)))
+
+  private def writeJsonFile(dir: String, name: String, content: String): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.writeString(java.nio.file.Paths.get(dir, name), content)
+  }
+
+  test("drainAvailable: json files → cleanse → sink; checkpoint prevents reprocess") {
+    val in = tmpDir("fp_in_")
+    val out = tmpDir("fp_out_")
+    val chk = tmpDir("fp_chk_")
+    writeJsonFile(in, "a.json",
+      """[{"measObjLdn":"eNodeB=N1,Cell=1","kpiId":"1","kpiValue":"5.5"},
+        | {"measObjLdn":"eNodeB=N2,Cell=2","kpiId":"2","kpiValue":"NIL"}]""".stripMargin)
+    val cfg = FilePipelineConfig(inputDir = in, schema = kpiSchema,
+      checkpointDir = chk)
+    def run(): Unit = FilePipeline.drainAvailable(spark, cfg,
+      transform = df => df.withColumn("kpiValue",
+        when(col("kpiValue") === "NIL", lit("0")).otherwise(col("kpiValue"))
+          .cast("double")),
+      sink = (df, _) => KafkaJsonSink.writeFiles(
+        KafkaJsonSink.payload(df), s"$out/data"))
+    run()
+    val vals = spark.read.parquet(s"$out/data").collect().map(_.getString(0))
+    assert(vals.length === 2)
+    assert(vals.exists(_.contains("\"kpiValue\":5.5")))
+    assert(vals.exists(_.contains("\"kpiValue\":0.0")))
+    assert(!vals.exists(_.contains("input_file"))) // provenance excluded (P1)
+
+    run() // same checkpoint → no new rows
+    assert(spark.read.parquet(s"$out/data").count() === 2)
+
+    writeJsonFile(in, "b.json",
+      """[{"measObjLdn":"eNodeB=N3,Cell=3","kpiId":"3","kpiValue":"1.0"}]""")
+    run() // only the new file is processed
+    assert(spark.read.parquet(s"$out/data").count() === 3)
+  }
+
+  test("TopicRouter fans one batch out to per-topic sinks + fallback") {
+    val out = tmpDir("router_")
+    val df = Seq(("xmlt", 1), ("csv", 2), ("xmlt", 3), ("mystery", 4))
+      .toDF("topic", "v")
+    TopicRouter.route(df, "topic",
+      Map(
+        "xmlt" -> ((d: org.apache.spark.sql.DataFrame) =>
+          d.write.mode("append").parquet(s"$out/xmlt")),
+        "csv" -> ((d: org.apache.spark.sql.DataFrame) =>
+          d.write.mode("append").parquet(s"$out/csv"))),
+      fallback = Some(d => d.write.mode("append").parquet(s"$out/other")))
+    assert(spark.read.parquet(s"$out/xmlt").count() === 2)
+    assert(spark.read.parquet(s"$out/csv").count() === 1)
+    assert(spark.read.parquet(s"$out/other").count() === 1)
+  }
+
+  test("FileLifecycle: md5-deduped backup, move-to-processed, audit, gunzip") {
+    val fl = new FileLifecycle(new Configuration())
+    val root = tmpDir("fl_")
+    val in = new Path(root, "in"); val bak = new Path(root, "bak")
+    val proc = new Path(root, "proc")
+    val fs = in.getFileSystem(new Configuration())
+    fs.mkdirs(in)
+    Files.writeString(java.nio.file.Paths.get(root, "in", "f1.xml"), "<x>1</x>")
+    Files.writeString(java.nio.file.Paths.get(root, "in", "f2.xml"), "<x>1</x>")
+    Files.writeString(java.nio.file.Paths.get(root, "in", "f3.xml"), "<x>3</x>")
+
+    assert(fl.backupDeduped(new Path(in, "f1.xml"), bak, 1L))
+    assert(!fl.backupDeduped(new Path(in, "f2.xml"), bak, 2L)) // same content
+    assert(fl.backupDeduped(new Path(in, "f3.xml"), bak, 3L))
+    assert(fs.globStatus(new Path(bak, "backup_*")).length === 2)
+
+    fl.moveProcessed(new Path(in, "f1.xml"), proc, 9L)
+    assert(fs.exists(new Path(proc, "processed_9_f1.xml")))
+    assert(fl.auditRemaining(in, "*.xml").map(_.getName).sorted
+      === Seq("f2.xml", "f3.xml"))
+
+    // gunzip: f.xml.gz → f.xml, archive moved aside
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    val gzOut = new java.io.File(root, "gz/g.xml.gz")
+    val zos = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gzOut))
+    zos.write("<y>ok</y>".getBytes); zos.close()
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 5L) === 1)
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "g.xml")) === "<y>ok</y>")
+    assert(fs.exists(new Path(done, "processed_5_g.xml.gz")))
+  }
+
+  test("watermark drops late rows across micro-batches (append mode)") {
+    val in = tmpDir("wm_in_")
+    val chk = tmpDir("wm_chk_")
+    val out = tmpDir("wm_out_")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).json(in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(sum(col("v")).as("s"))
+        .select(col("window.start").as("start"), col("s"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // drain 1: advances the in-memory watermark to 11:50 (a watermark
+    // becomes durable only in the NEXT batch's offsets entry)
+    writeJsonFile(in, "b1.json",
+      """{"ts":"2025-01-01T10:05:00.000Z","v":1.0}
+        |{"ts":"2025-01-01T12:00:00.000Z","v":2.0}""".stripMargin)
+    drain()
+    // drain 2: a middle batch commits wm=11:50 into the checkpoint and
+    // finalizes the 10:00 window at 1.0
+    writeJsonFile(in, "b2.json",
+      """{"ts":"2025-01-01T12:30:00.000Z","v":0.5}""")
+    drain()
+    // drain 3 (restart): the 10:10 row is behind the restored watermark
+    // → dropped; it never reaches the already-emitted 10:00 window
+    writeJsonFile(in, "b3.json",
+      """{"ts":"2025-01-01T10:10:00.000Z","v":100.0}
+        |{"ts":"2025-01-01T13:00:00.000Z","v":3.0}""".stripMargin)
+    drain()
+    val sums = spark.read.parquet(s"$out/data").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+    // the 10:00 window closed at v=1.0 — the late 100.0 was dropped
+    assert(sums.get("2025-01-01 10:00:00.0").contains(1.0))
+    assert(sums.values.forall(_ < 10.0))
+  }
+}
