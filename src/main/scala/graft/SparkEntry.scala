@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CleanseQueries, CoreQueries, DedupQueries, SimilarityQueries, StreamingQueries, TextQueries, XmlQueries}
+import graft.queries.{CleanseQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamingQueries, TextQueries, XmlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     XmlQueries,
-    StreamingQueries
+    StreamingQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north-star per SURVEY.md §0): media
+  * payloads ride through the engine as opaque `binary` columns with a
+  * typed metadata struct; decode / feature-extraction / resize /
+  * frame-sampling run per partition over batches of rows.
+  *
+  * Scale design: the Spark-side plumbing is the real thing —
+  * `mapPartitions` with case-class encoders so each task decodes its
+  * partition's batch locally (the pattern a Python stack expresses as
+  * `mapInPandas`); binary payloads never shuffle unless the caller asks
+  * for it, and feature rows are small. Partition sizing is controlled by
+  * the upstream source (`maxPartitionBytes`), which bounds task memory.
+  *
+  * STUB boundary: this container has no image/audio codecs, so
+  * [[MediaCodec.decodeStub]] derives features deterministically from the
+  * bytes (length + md5 bits) instead of a real JPEG/PCM decode. The
+  * function is the single seam to swap for a real codec; everything
+  * around it (schema, batching, explode shape) is production plumbing.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded per-item features. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int)
+
+  /** One sampled frame of a (pseudo-)video payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_hash: Long)
+
+  object MediaCodec {
+    /** Engine-portable 60-bit hash of raw bytes (same definition as
+      * [[Hashing.md5Long]] — first 15 hex chars of md5). */
+    def md5Long(bytes: Array[Byte]): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    /** STUB decode: a real implementation would parse the container and
+      * codec (JPEG/PNG/PCM/H.264) here. Deterministic fake: dimensions
+      * derived from the content hash, so results are reproducible and
+      * externally checkable. */
+    def decodeStub(r: MediaRow): MediaFeatures = {
+      val h = md5Long(r.content)
+      MediaFeatures(r.media_id, r.kind, r.content.length,
+        width = (16 + h % 1024).toInt,
+        height = (16 + (h >> 10) % 1024).toInt)
+    }
+  }
+
+  /** Per-partition batch decode: the `mapInPandas`-shaped plumbing.
+    * Each task decodes its partition's rows locally; no shuffle. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(MediaCodec.decodeStub))
+  }
+
+  /** Resize plumbing: records the target dims in metadata; the payload
+    * transform is part of the codec stub (a real impl re-encodes). */
+  def resizeStub(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")))
+    features.toDF()
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sampling plumbing for video-kind payloads: emit `n` evenly
+    * spaced pseudo-frames per item (hash-derived in the stub; a real
+    * impl seeks and decodes keyframes). Output explodes 1→n — the same
+    * shape a real sampler produces. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val h = MediaCodec.md5Long(r.content)
+      (0 until n).map(i => Frame(r.media_id, i,
+        // per-frame hash: re-hash content with the frame index appended
+        MediaCodec.md5Long(r.content ++ i.toString.getBytes("UTF-8"))))
+    }
+  }
+
+  /** Wrap a DataFrame with (idCol: long, kindCol: string, payload
+    * binary) into the typed media Dataset. */
+  def asMedia(df: DataFrame, idCol: String, kindCol: String,
+      contentCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(kindCol).as("kind"),
+      col(contentCol).cast("binary").as("content")).as[MediaRow]
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ext.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def media() = Multimodal.asMedia(
+    Seq((1L, "image", "payload-one"), (2L, "audio", "payload-two"))
+      .toDF("id", "kind", "content"),
+    "id", "kind", "content")
+
+  test("decodeFeatures: deterministic dims, byte-accurate length") {
+    val f = Multimodal.decodeFeatures(media()).collect().sortBy(_.media_id)
+    assert(f.map(_.n_bytes).toSeq === Seq(11, 11))
+    assert(f.forall(x => x.width >= 16 && x.width < 16 + 1024))
+    val again = Multimodal.decodeFeatures(media()).collect().sortBy(_.media_id)
+    assert(f.toSeq === again.toSeq)
+  }
+
+  test("resizeStub: aspect-ish downscale bounded by maxDim, no upscale") {
+    val out = Multimodal.resizeStub(Multimodal.decodeFeatures(media()), 32)
+      .select(col("out_width"), col("out_height")).collect()
+    assert(out.forall(r => r.getInt(0) <= 32 && r.getInt(1) <= 32))
+    val big = Multimodal.resizeStub(Multimodal.decodeFeatures(media()), 10000)
+      .select(col("width") === col("out_width")).collect()
+    assert(big.forall(_.getBoolean(0))) // scale capped at 1.0
+  }
+
+  test("sampleFrames: n frames per item, distinct per-frame hashes") {
+    val frames = Multimodal.sampleFrames(media(), 3).collect()
+    assert(frames.length === 6)
+    assert(frames.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2)))
+    assert(frames.map(_.frame_hash).distinct.length === 6)
+  }
+}
