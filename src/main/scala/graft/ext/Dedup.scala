@@ -40,11 +40,27 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature: k independent permutations approximated by k
-    * seeded hash families; element j = min over shingles of h_j. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** MinHash permutations via universal hashing over ONE base hash
+    * (Carter–Wegman): h_j(x) = (A_j·base(x) + B_j) mod p, p = 2³¹−1.
+    * One md5 per shingle total (vs k md5s with seeded families — 16×
+    * less hashing on the scan), and the linear family is reproducible
+    * in any engine with 64-bit integer arithmetic. */
+  val MinhashP: Long = 2147483647L // Mersenne prime 2^31-1
+  def minhashA(j: Int): Long = ((2L * j + 1) * 2654435761L) % MinhashP
+  def minhashB(j: Int): Long = (7919L * j + 1) % MinhashP
+
+  /** Base hashes for a shingle-string array: md5Long mod p. Materialize
+    * this as a column before deriving the signature (Catalyst inlines
+    * nested expressions into every lambda reference). */
+  def baseHashes(shingles: Column): Column =
+    transform(shingles, s => Hashing.md5Long(s) % MinhashP)
+
+  /** Signature from a MATERIALIZED base-hash array column: element j =
+    * min over shingles of the j-th linear permutation. */
+  def minhashSignature(baseHashCol: Column, k: Int): Column =
     array((0 until k).map(j =>
-      array_min(transform(shingles, s => Hashing.md5Long(j, s)))): _*)
+      array_min(transform(baseHashCol,
+        b => (lit(minhashA(j)) * b + lit(minhashB(j))) % MinhashP))): _*)
 
   /** LSH band hashes: signature split into `bands` rows-per-band groups,
     * each group hashed to one bucket key. Docs sharing any band bucket
@@ -57,24 +73,32 @@ object Dedup {
     }: _*)
   }
 
-  /** Exact Jaccard between two distinct-element array columns, computed
-    * with an engine-portable formula (|A∩B| via membership filter;
-    * |A∪B| = |A|+|B|-|A∩B|). */
+  /** Exact Jaccard between two distinct-element array columns:
+    * |A∩B| via hashed `array_intersect` (O(n+m), vs O(n·m) for a
+    * membership-filter scan), |A∪B| = |A|+|B|−|A∩B|. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(filter(a, x => array_contains(b, x)))
+    val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** 32-bit SimHash over the token multiset: bit b is set iff tokens
-    * whose hash has bit b outnumber those that don't (sign of the ±1
-    * weight sum, expressed as 2·|set| − n > 0). */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val th = transform(TextAnalysis.tokens(text), t => Hashing.md5Long(t))
+  /** Token-hash array for SimHash — materialize as a column before
+    * calling [[simhashFromHashes]] (one md5 per token; passing the
+    * expression inline would recompute it per bit). */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => Hashing.md5Long(t))
+
+  /** 32-bit SimHash from a MATERIALIZED token-hash array column: bit b
+    * is set iff tokens whose hash has bit b outnumber those that don't
+    * (sign of the ±1 weight sum, expressed as 2·|set| − n > 0). */
+  def simhashFromHashes(th: Column, bits: Int = 32): Column =
     (0 until bits).map { b =>
       val setCnt = size(filter(th, h => shiftright(h, b) % 2 === 1))
       when(setCnt * 2 - size(th) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Convenience one-shot SimHash (tests / small data). */
+  def simhash(text: Column, bits: Int = 32): Column =
+    simhashFromHashes(tokenHashes(text), bits)
 
   /** SimHash chunk keys for candidate banding: `nChunks` groups of
     * `chunkBits` bits; docs agreeing on any chunk are candidates (a pair
@@ -86,28 +110,56 @@ object Dedup {
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Candidate (a_id, b_id) pairs from bucket rows, WITHOUT a self-join:
+    * group by the bucket key, collect the ids, emit every within-bucket
+    * combination (a < b via the sorted array), then dedupe across
+    * buckets. A self-join would recompute the (expensive) bucket-key
+    * lineage once per side; this computes it once and shuffles only
+    * (key, id) pairs. Buckets are hash-uniform by construction, so
+    * collect_list stays tiny; a `maxBucket` guard drops degenerate
+    * buckets (stop-fingerprint protection at scale). */
+  def pairsFromBuckets(rows: DataFrame, keyCols: Seq[String],
+      idCol: String, maxBucket: Int = 10000): DataFrame = {
+    val ids = col("ids")
+    val combos = flatten(transform(sequence(lit(1), size(ids) - 1),
+      i => transform(slice(ids, i + 1, size(ids) - i),
+        b => struct(element_at(ids, i).as("a_id"), b.as("b_id")))))
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) > 1 && size(ids) <= maxBucket)
+      .select(explode(combos).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+  }
+
   /** Full MinHash-LSH near-dup pair pipeline: shingle → signature → band
     * → bucket self-join → exact-Jaccard verify. Returns (a_id, b_id,
-    * jacc) for pairs with Jaccard ≥ `threshold`. */
+    * jacc) for pairs with Jaccard ≥ `threshold`.
+    *
+    * The verify step compares DISTINCT 60-bit shingle-hash arrays, not
+    * shingle strings — an 8-byte element shuffles/intersects far cheaper
+    * than a ~20-byte string and collisions are negligible at 2^60. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      distinctShingles(col(textCol), shingleN).as("sh"))
-    val sig = sh.filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+    // spread the per-row hashing/signature work across all cores — a
+    // small input file would otherwise pin the whole scan to one task
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .withColumn("shs", distinctShingles(col(textCol), shingleN))
+      .withColumn("hs", array_distinct(
+        transform(col("shs"), s => Hashing.md5Long(s))))
+      .select(col(idCol).as("id"), col("hs"))
+    val sig = sh.filter(size(col("hs")) > 0)
+      .withColumn("bh", transform(col("hs"), x => x % MinhashP))
+      .select(col("id"), minhashSignature(col("bh"), k).as("sig"))
     val bandRows = sig.select(col("id"),
       posexplode(lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val cand = pairsFromBuckets(bandRows, Seq("band", "bh"), "id")
     val verified = cand
-      .join(sh.select(col("id"), col("sh").as("sha")), col("a_id") === col("id")).drop("id")
-      .join(sh.select(col("id"), col("sh").as("shb")), col("b_id") === col("id")).drop("id")
-      .withColumn("jacc", jaccard(col("sha"), col("shb")))
+      .join(sh.select(col("id"), col("hs").as("ha")), col("a_id") === col("id")).drop("id")
+      .join(sh.select(col("id"), col("hs").as("hb")), col("b_id") === col("id")).drop("id")
+      .withColumn("jacc", jaccard(col("ha"), col("hb")))
       .filter(col("jacc") >= threshold)
     verified.select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }

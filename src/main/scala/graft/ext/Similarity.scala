@@ -58,13 +58,28 @@ object Similarity {
       when(dot(emb, planeLit(p, dims)) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
-  /** Exact brute-force cosine top-k: broadcast `queries` against the
-    * corpus, rank per query. Rank key is cosine rounded to 6dp with id
+  /** Append a unit-normalized copy (`outCol`) of `embCol`. The norm is
+    * materialized as its own column first: referencing a norm EXPRESSION
+    * inside the per-element lambda would recompute the full dot product
+    * per element (Catalyst inlines nested expressions). After this,
+    * cosine between two unit vectors is a single O(d) dot — 3× cheaper
+    * than dot/(|a|·|b|) per pair, and the norms are paid once per row
+    * at scan time instead of once per candidate pair. */
+  def withNormalized(df: DataFrame, embCol: String,
+      outCol: String = "ne"): DataFrame =
+    df.withColumn("__nrm", norm(col(embCol)))
+      .withColumn(outCol,
+        transform(col(embCol), x => x.cast("double") / col("__nrm")))
+      .drop("__nrm")
+
+  /** Exact brute-force cosine top-k over PRE-NORMALIZED vectors:
+    * broadcast `queries` (q_id, qe) against the corpus (vec_id, ne),
+    * rank per query. Rank key is cosine rounded to 6dp with id
     * tie-break so ordering is reproducible across engines. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val pairs = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("cos", dot(col("qe"), col("ne")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cos"), 6).desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w))

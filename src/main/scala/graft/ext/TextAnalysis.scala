@@ -91,17 +91,26 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): minima
-    * of sliding windows of `w` consecutive shingle hashes, deduplicated.
-    * Robust to local edits; the standard fingerprint for near-dup corpus
-    * indexing at scale. */
-  def fingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
-    val h = shingleHashes(text, n)
-    val wins = when(size(h) >= w,
-      transform(sequence(lit(1), size(h) - (w - 1)),
-        i => array_min(slice(h, i, lit(w)))))
-      .otherwise(when(size(h) > 0, array(array_min(h)))
-        .otherwise(array().cast("array<bigint>")))
-    array_distinct(wins)
-  }
+  /** Winnowing fingerprint from an ALREADY-MATERIALIZED hash-array
+    * column (minima of sliding windows of `w` consecutive shingle
+    * hashes, deduplicated — Schleimer et al., SIGMOD'03).
+    *
+    * `h` MUST be a column reference, not a nested expression: Catalyst
+    * inlines expressions into every lambda reference, so passing
+    * `shingleHashes(...)` directly would recompute the whole hash array
+    * once per window (O(n²) md5 calls per row — measured 50× slower).
+    * Project the hashes with `withColumn` first. */
+  def fingerprintsFromHashes(h: Column, w: Int = 4): Column =
+    array_distinct(
+      when(size(h) >= w,
+        transform(sequence(lit(1), size(h) - (w - 1)),
+          i => array_min(slice(h, i, lit(w)))))
+        .otherwise(when(size(h) > 0, array(array_min(h)))
+          .otherwise(array().cast("array<bigint>"))))
+
+  /** Convenience one-shot fingerprint (tests / small data). For hot
+    * paths, materialize [[shingleHashes]] and use
+    * [[fingerprintsFromHashes]]. */
+  def fingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
+    fingerprintsFromHashes(shingleHashes(text, n), w)
 }

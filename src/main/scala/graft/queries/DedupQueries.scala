@@ -7,8 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** North-star deduplication operators over `documents` (SURVEY.md §0):
   * exact/canonical, MinHash+LSH, SimHash, shingle-Jaccard with
-  * fingerprint-based candidate generation. Every hash is md5-derived so
-  * the DuckDB oracle reproduces results bit-for-bit.
+  * fingerprint-based candidate generation. Every hash is md5-derived
+  * (plus Carter–Wegman linear permutations for MinHash) so the DuckDB
+  * oracle reproduces results bit-for-bit.
+  *
+  * Perf conventions (measured at sf0.1): intermediate hash ARRAYS are
+  * materialized with withColumn before any lambda consumes them —
+  * Catalyst inlines nested higher-order expressions into every
+  * reference, which turns O(n) per-row work into O(n²) otherwise.
   */
 object DedupQueries extends QueryPack {
 
@@ -42,38 +48,35 @@ object DedupQueries extends QueryPack {
     // ---- SimHash near-dup pairs via chunk banding + Hamming verify ----
     "q36_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
-      val chunks = docs.select(col("doc_id"), col("sim"),
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("th", Dedup.tokenHashes(col("text")))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("th")).as("sim"))
+      val chunks = docs.select(col("doc_id"),
         posexplode(Dedup.simhashChunks(col("sim"), ChunkBits, NChunks))
           .as(Seq("c", "ck")))
-      val cand = chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.c") === col("b.c") && col("a.ck") === col("b.ck")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          Dedup.hamming(col("a.sim"), col("b.sim")).as("ham"))
-        .distinct()
-      cand.filter(col("ham") <= 3)
+      Dedup.pairsFromBuckets(chunks, Seq("c", "ck"), "doc_id")
+        .join(docs.select(col("doc_id").as("a_id"), col("sim").as("sima")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sim").as("simb")), "b_id")
+        .withColumn("ham", Dedup.hamming(col("sima"), col("simb")))
+        .filter(col("ham") <= 3)
+        .select(col("a_id"), col("b_id"), col("ham"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
     // ---- Shingle-Jaccard near-dups, candidates via shared winnowing
     //      fingerprints (equi-join — no all-pairs scan) ----
     "q37_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = docs.select(col("doc_id"),
-        Dedup.distinctShingles(col("text"), 3).as("sh"))
-      val fps = docs.select(col("doc_id"),
-        explode(TextAnalysis.fingerprints(col("text"), 3, 4)).as("fp"))
-      val cand = fps.as("a")
-        .join(fps.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+      val hsh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
+      val sh = hsh.select(col("doc_id"), array_distinct(col("h")).as("hs"))
+      val fps = hsh.select(col("doc_id"),
+        explode(TextAnalysis.fingerprintsFromHashes(col("h"), 4)).as("fp"))
+      val cand = Dedup.pairsFromBuckets(fps, Seq("fp"), "doc_id")
       cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-        .withColumn("jacc", Dedup.jaccard(col("sha"), col("shb")))
+        .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .withColumn("jacc", Dedup.jaccard(col("ha"), col("hb")))
         .filter(col("jacc") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
         .orderBy(col("a_id"), col("b_id"))
@@ -94,9 +97,15 @@ object DedupQueries extends QueryPack {
        |    i -> array_to_string(tk[i:i+2], ' '))
        |  ELSE [] END) AS sh FROM d)""".stripMargin
 
+  /** Jaccard over the distinct 60-bit hash arrays (matches the Spark
+    * side, which verifies on hashes — see Dedup.minhashLshPairs). */
   private val JaccSql =
-    """len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
-      | / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))""".stripMargin
+    """len(list_intersect(sa.hs, sb.hs))::DOUBLE
+      | / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))""".stripMargin
+
+  /** CTE deriving distinct shingle-hash arrays from the shingle CTE. */
+  private def hsCte: String =
+    s"hsx AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h("s")})) AS hs FROM sh)"
 
   override def oracles: Map[String, String] = Map(
     "q34_exact_dedup" ->
@@ -106,13 +115,18 @@ object DedupQueries extends QueryPack {
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q35_minhash_lsh" -> {
+      val p = Dedup.MinhashP
       val sigExprs = (0 until K).map(j =>
-        s"list_min(list_transform(sh, s -> ${h(s"'$j|' || s")}))").mkString(",\n    ")
+        s"list_min(list_transform(bh, b -> (${Dedup.minhashA(j)} * b + ${Dedup.minhashB(j)}) % $p))")
+        .mkString(",\n    ")
       val bandVals = (0 until Bands).map(b => s"($b)").mkString(", ")
       s"""WITH $ShinglesCte,
-         |sig AS (SELECT doc_id, sh, [
+         |$hsCte,
+         |bhx AS (SELECT doc_id, hs, list_transform(hs, x -> x % $p) AS bh
+         |  FROM hsx WHERE len(hs) > 0),
+         |sig AS (SELECT doc_id, [
          |    $sigExprs] AS sig
-         |  FROM sh WHERE len(sh) > 0),
+         |  FROM bhx),
          |bands AS (SELECT doc_id, bb.b,
          |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
          |  FROM sig, (VALUES $bandVals) AS bb(b)),
@@ -120,7 +134,7 @@ object DedupQueries extends QueryPack {
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
          |    AND a.doc_id < b.doc_id),
          |j AS (SELECT a_id, b_id, $JaccSql AS jacc
-         |  FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id)
+         |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
          |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
          |WHERE jacc >= 0.8 ORDER BY a_id, b_id""".stripMargin
     },
@@ -144,21 +158,22 @@ object DedupQueries extends QueryPack {
     },
 
     "q37_ngram_jaccard" ->
-      s"""WITH $ShinglesCte,
-         |hs AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |hraw AS (SELECT doc_id,
          |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
          |    i -> ${h("array_to_string(tk[i:i+2], ' ')")})
          |  ELSE [] END AS h FROM d),
+         |hsx AS (SELECT doc_id, list_distinct(h) AS hs FROM hraw),
          |w AS (SELECT doc_id, list_distinct(
          |  CASE WHEN len(h) >= 4 THEN list_transform(generate_series(1, len(h) - 3),
          |         i -> list_min(h[i:i+3]))
          |       WHEN len(h) > 0 THEN [list_min(h)]
-         |       ELSE [] END) AS fps FROM hs),
+         |       ELSE [] END) AS fps FROM hraw),
          |e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
          |j AS (SELECT a_id, b_id, $JaccSql AS jacc
-         |  FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id)
+         |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
          |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
          |WHERE jacc >= 0.6 ORDER BY a_id, b_id""".stripMargin
   )

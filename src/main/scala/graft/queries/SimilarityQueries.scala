@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** North-star similarity search over `embeddings` (SURVEY.md §0):
   * exact brute-force cosine top-k, LSH-bucketed approximate top-k, and
-  * embedding-cosine near-pair mining. Oracles reproduce every hash and
-  * fold bit-for-bit in DuckDB.
+  * embedding-cosine near-pair mining. Vectors are unit-normalized once
+  * at scan time (cosine per pair = one dot); oracles reproduce every
+  * hash and fold bit-for-bit in DuckDB.
   */
 object SimilarityQueries extends QueryPack {
 
@@ -17,28 +18,37 @@ object SimilarityQueries extends QueryPack {
   private val AnnPlanes = 8  // 256 buckets for top-k search
   private val PairPlanes = 4 // 16 buckets for pair mining
 
+  /** (vec_id, ne [, bucket]) — normalized corpus, optional LSH bucket. */
+  private def prepped(s: SparkSession, d: String, planes: Int = 0): DataFrame = {
+    val base = Similarity.withNormalized(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism),
+      "embedding")
+    val withB = if (planes > 0) base.withColumn("bucket",
+      Similarity.lshBucket(col("embedding"), planes, Dims)) else base
+    withB.drop("embedding")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Exact baseline: brute-force cosine top-3 per query vector ----
     "q38_cosine_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = prepped(s, d)
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"))
       Similarity.bruteForceTopK(e, q, 3)
         .orderBy(col("q_id"), col("rn"))
     }),
 
     // ---- Approximate scale path: top-3 within the 8-plane LSH bucket ----
     "q39_ann_lsh" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.lshBucket(col("embedding"), AnnPlanes, Dims).as("bucket"))
+      val e = prepped(s, d, AnnPlanes)
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"),
           col("bucket").as("qb"))
       val pairs = e.join(broadcast(q),
           col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-        .withColumn("cos", Similarity.cosine(col("qe"), col("embedding")))
+        .withColumn("cos", Similarity.dot(col("qe"), col("ne")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(w))
@@ -50,13 +60,11 @@ object SimilarityQueries extends QueryPack {
 
     // ---- Embedding-cosine near-pair mining via 4-plane bucket join ----
     "q40_embedding_pairs" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.lshBucket(col("embedding"), PairPlanes, Dims).as("bucket"))
+      val e = prepped(s, d, PairPlanes)
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("cos", Similarity.dot(col("a.ne"), col("b.ne")))
         .filter(col("cos") >= 0.35)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 4).as("cos"))
@@ -72,9 +80,6 @@ object SimilarityQueries extends QueryPack {
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
-
   /** Projection onto the ±1 md5-derived hyperplane `p` (i is 1-based in
     * SQL, the plane component uses the 0-based dim index). */
   private def projSql(e: String, p: Int): String =
@@ -87,11 +92,26 @@ object SimilarityQueries extends QueryPack {
       .map(p => s"(CASE WHEN ${projSql(e, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Normalized-corpus CTEs: nrm materialized, then unit vectors (same
+    * two-step float math as the Spark side). */
+  private def preppedCte(planes: Int): String = {
+    val bucketCol =
+      if (planes > 0) s",\n    ${bucketSql("embedding", planes)} AS bucket"
+      else ""
+    s"""raw AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm$bucketCol
+       |  FROM embeddings),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE / nrm) AS ne
+       |    ${if (planes > 0) ", bucket" else ""}
+       |  FROM raw)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "q38_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM e WHERE vec_id % 50 = 0),
-         |p AS (SELECT q_id, vec_id, ${cosSql("qe", "embedding")} AS c
+      s"""WITH ${preppedCte(0)},
+         |q AS (SELECT vec_id AS q_id, ne AS qe FROM e WHERE vec_id % 50 = 0),
+         |p AS (SELECT q_id, vec_id, ${dotSql("qe", "ne")} AS c
          |  FROM q, e WHERE vec_id != q_id),
          |r AS (SELECT q_id, vec_id, c, row_number() OVER (
          |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM p)
@@ -99,11 +119,10 @@ object SimilarityQueries extends QueryPack {
          |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
     "q39_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${bucketSql("embedding", AnnPlanes)} AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+      s"""WITH ${preppedCte(AnnPlanes)},
+         |q AS (SELECT vec_id AS q_id, ne AS qe, bucket AS qb
          |  FROM e WHERE vec_id % 50 = 0),
-         |p AS (SELECT q_id, vec_id, ${cosSql("qe", "embedding")} AS c
+         |p AS (SELECT q_id, vec_id, ${dotSql("qe", "ne")} AS c
          |  FROM q JOIN e ON e.bucket = q.qb AND e.vec_id != q.q_id),
          |r AS (SELECT q_id, vec_id, c, row_number() OVER (
          |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM p)
@@ -111,10 +130,9 @@ object SimilarityQueries extends QueryPack {
          |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
     "q40_embedding_pairs" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${bucketSql("embedding", PairPlanes)} AS bucket FROM embeddings),
+      s"""WITH ${preppedCte(PairPlanes)},
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${cosSql("a.embedding", "b.embedding")} AS c
+         |    ${dotSql("a.ne", "b.ne")} AS c
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(c, 4) AS cos FROM p
          |WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin

@@ -46,10 +46,13 @@ object TextQueries extends QueryPack {
     }),
 
     // ---- Winnowing fingerprints over 3-token shingle hashes ----
+    // (hash array materialized first — see DedupQueries perf note)
     "q33_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
         .select(col("source"),
-          explode(TextAnalysis.fingerprints(col("text"), 3, 4)).as("fp"))
+          explode(TextAnalysis.fingerprintsFromHashes(col("h"), 4)).as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_fp"),
           countDistinct(col("fp")).as("n_distinct_fp"))

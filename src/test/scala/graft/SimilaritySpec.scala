@@ -31,12 +31,12 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bruteForceTopK ranks the true nearest neighbour first") {
-    val corpus = Seq(
+    val corpus = Similarity.withNormalized(Seq(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
       (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f))
-    ).toDF("vec_id", "embedding")
+    ).toDF("vec_id", "embedding"), "embedding")
     val queries = corpus.filter(col("vec_id") === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("q_id"), col("ne").as("qe"))
     val top = Similarity.bruteForceTopK(corpus, queries, 2)
       .orderBy("rn").collect()
     assert(top(0).getLong(2) === 1L) // closest to (1,0,0) is (0.9,0.1,0)
