@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CleanseQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamingQueries, TextQueries, XmlQueries}
+import graft.queries.{AdvancedQueries, CleanseQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamingQueries, TextQueries, XmlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     SimilarityQueries,
     XmlQueries,
     StreamingQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    AdvancedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced analytics operators beyond the reference's surface
+  * (SURVEY.md §2.6/§2.7 Spark built-ins + operators Spark expresses
+  * compositionally): CUBE grouping sets with statistical aggregates,
+  * as-of (nearest-preceding) join, and session windows.
+  */
+object AdvancedQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- CUBE grouping sets + stddev / exact percentile ----
+    "q17_cube_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(stddev(col("l_extendedprice")), 2).as("sd_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // ---- As-of join: latest purchase value at or before each click.
+    //      Spark lacks a native as-of join; the scalable composition is
+    //      union + partitioned last(ignoreNulls) window — one shuffle on
+    //      user_id, no range-join explosion. ----
+    "q45_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("is_a"),
+          lit(null).cast("double").as("bval"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("is_a"),
+          col("value").as("bval"))
+      // quote rows sort before click rows at equal ts → "<=" semantics
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_a"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_b", last(col("bval"), ignoreNulls = true).over(w))
+        .filter(col("is_a") === 1)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("last_b")).as("n_matched"),
+          round(sum(col("last_b")), 2).as("sum_b"))
+        .orderBy(col("cohort"))
+    }),
+
+    // ---- Session windows (30-min inactivity gap) per user ----
+    "q46_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("max_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q17_cube_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q45_asof_join" ->
+      """WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id % 10 AS cohort, count(*) AS n_clicks,
+        |  count(b.value) AS n_matched, round(sum(b.value), 2) AS sum_b
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q46_session_window" ->
+      """WITH l AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |    sum(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
