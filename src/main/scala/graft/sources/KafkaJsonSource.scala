@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Kafka JSON source (SURVEY.md §2.1 S6 — the engine-side analogue of
+  * the reference's Logstash consumer over topics
+  * `xmlt_fast,xmlt,csv,xmlhard`, logstash.conf:2-9).
+  *
+  * The physical connector (`format("kafka")`) resolves from the cluster
+  * classpath at runtime; the payload-parsing stage ([[parse]]) is plain
+  * engine code — unit-testable against static frames with the same
+  * (key, value, topic) binary shape Kafka produces.
+  */
+object KafkaJsonSource {
+
+  /** Streaming subscription over one or more topics, JSON-decoded. */
+  def stream(spark: SparkSession, bootstrap: String, topics: Seq[String],
+      schema: StructType): DataFrame =
+    parse(spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .load(), schema)
+
+  /** Kafka's wire columns → typed rows: value JSON decoded with the
+    * fixed schema (schema-on-read projection per SURVEY §1.3 — fields
+    * absent from `schema` are dropped, the reference's P3 pattern),
+    * `topic` retained for downstream routing (K3). */
+  def parse(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(col("topic"),
+      col("key").cast("string").as("key"),
+      from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("topic"), col("key"), col("r.*"))
+}

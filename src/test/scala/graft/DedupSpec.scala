@@ -9,7 +9,9 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(4)
   import spark.implicits._
 
-  override def afterAll(): Unit = spark.stop()
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 

@@ -9,7 +9,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(4)
   import spark.implicits._
 
-  override def afterAll(): Unit = spark.stop()
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
 
   private def media() = Multimodal.asMedia(
     Seq((1L, "image", "payload-one"), (2L, "audio", "payload-two"))

@@ -8,7 +8,9 @@ class RunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(2)
   import spark.implicits._
 
-  override def afterAll(): Unit = spark.stop()
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
 
   test("retry: succeeds after transient failures, rethrows when exhausted") {
     var n = 0

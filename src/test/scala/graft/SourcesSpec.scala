@@ -1,0 +1,80 @@
+package graft
+
+import graft.model.Schemas
+import graft.sources.KafkaJsonSource
+import graft.streaming.{FilePipeline, FilePipelineConfig}
+import graft.transforms.Cleanse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
+
+  test("KafkaJsonSource.parse: wire shape → typed rows, schema-on-read projection") {
+    val schema = StructType(Seq(
+      StructField("kpiName", StringType),
+      StructField("kpiValue", StringType)))
+    val wire = Seq(
+      ("xmlt_fast", "k1".getBytes, """{"kpiName":"A","kpiValue":"9.5","sourceFile":"f1"}""".getBytes),
+      ("csv", null.asInstanceOf[Array[Byte]], """{"kpiName":"B","kpiValue":"NIL"}""".getBytes)
+    ).toDF("topic", "key", "value")
+    val rows = KafkaJsonSource.parse(wire, schema).orderBy("topic").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("csv", "xmlt_fast"))
+    assert(rows(1).getString(1) === "k1")
+    assert(rows(1).getString(2) === "A")
+    // sourceFile silently dropped by the read schema (P3)
+    assert(!rows(0).schema.fieldNames.contains("sourceFile"))
+  }
+
+  test("streaming CSV flow: 69-col schema, dotted names, full cellKpi cleanse") {
+    val in = Files.createTempDirectory("csv_in_").toString
+    val out = Files.createTempDirectory("csv_out_").toString
+    val chk = Files.createTempDirectory("csv_chk_").toString
+    val arch = Files.createTempDirectory("csv_arch_").toString
+    val header = Schemas.cellKpi69.fieldNames
+      .map(n => if (n.contains(",")) "\"" + n + "\"" else n).mkString(",")
+    // two data rows: one clean, one with nulls + " NIL " interference
+    def row(time: String, enb: String, nil: Boolean): String = {
+      val cells = Schemas.cellKpi69.fields.map { f =>
+        f.name match {
+          case "Time" => time
+          case "eNodeB Name" => enb
+          case "Cell Name" => "cell-1"
+          case "Integrity" => "OK"
+          case "FT_UL.Interference" => if (nil) " NIL " else "42.5"
+          case "Latitude" | "Longitude" => if (nil) "" else "10.5"
+          case _ => if (nil) "" else "1"
+        }
+      }
+      cells.mkString(",")
+    }
+    Files.writeString(java.nio.file.Paths.get(in, "kpis.csv"),
+      header + "\n" + row("04-13-2025 10:00", "enb1", nil = false) +
+        "\n" + row("04-13-2025 10:15", "enb2", nil = true))
+    val cfg = FilePipelineConfig(inputDir = in, schema = Schemas.cellKpi69,
+      format = "csv", checkpointDir = chk, archiveDir = Some(arch),
+      provenanceCol = None)
+    FilePipeline.drainAvailable(spark, cfg,
+      transform = Cleanse.cellKpiChain,
+      sink = (df, _) => df.write.mode("append").parquet(s"$out/data"))
+    val got = spark.read.parquet(s"$out/data").orderBy(col("Time")).collect()
+    assert(got.length === 2)
+    val bySchema = spark.read.parquet(s"$out/data").schema.fieldNames.toSet
+    assert(!bySchema.contains("Integrity"))            // dropped (P2)
+    assert(bySchema.contains("FT_UL_Interference"))    // renamed (F6)
+    assert(got(0).getAs[String]("FT_UL_Interference") === "42.5")
+    assert(got(1).getAs[String]("FT_UL_Interference") === "0") // " NIL "→0 (P6)
+    assert(got(1).getAs[Double]("Latitude") === 999.0) // null→sentinel (F5)
+    assert(got(1).getAs[String]("eNodeB Name") === "enb2")
+    assert(got(0).getAs[java.sql.Timestamp]("Time") != null) // parsed (F3)
+  }
+}

@@ -15,7 +15,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(4)
   import spark.implicits._
 
-  override def afterAll(): Unit = spark.stop()
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
 
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString

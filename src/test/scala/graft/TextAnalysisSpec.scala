@@ -9,7 +9,9 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(4)
   import spark.implicits._
 
-  override def afterAll(): Unit = spark.stop()
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
 
   test("md5Long matches the engine-portable definition (known value)") {
     // md5("abc") = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb

@@ -12,7 +12,9 @@ class XmlMeasSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(4)
   import spark.implicits._
 
-  override def afterAll(): Unit = spark.stop()
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
 
   private val sample =
     """<measCollecFile xmlns="http://www.3gpp.org/ftp/specs/archive/32_series/32.435#measCollec">
