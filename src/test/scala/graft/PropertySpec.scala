@@ -1,0 +1,103 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.sources.XmlMeas
+import graft.transforms.Cleanse
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property-based invariants (SURVEY.md §5 test plan #2): cleanse
+  * idempotence, flatten row-count/name-totality invariants, dedup
+  * signature invariants. Uses raw ScalaCheck (the scalatest bridge
+  * isn't in the offline dependency cache). */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
+
+  private def holds(n: Int)(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.oneOf("the", "a", "nil", "NIL", "data", "kpi", "x9")
+  private val text = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("cleanse nil-normalization is idempotent: clean(clean(x)) == clean(x)") {
+    holds(10)(Prop.forAll(
+      Gen.listOfN(20, Gen.oneOf(" NIL ", "nil", "5.5", "", "ok", "NiL"))) {
+      vals =>
+        val df = vals.toDF("v")
+        val once = Cleanse.nilNormalizedToZero("v")(df)
+          .collect().map(_.getString(0)).toSeq
+        val twice = Cleanse.nilNormalizedToZero("v")(
+          Cleanse.nilNormalizedToZero("v")(df))
+          .collect().map(_.getString(0)).toSeq
+        once == twice
+    })
+  }
+
+  test("flatten invariants: |rows| = Σ|r|; every kpiName resolved or UNKNOWN_") {
+    holds(8)(Prop.forAll(Gen.chooseNum(0, 4), Gen.chooseNum(0, 4)) {
+      (nTypes, nRs) =>
+        val types = (1 to nTypes)
+          .map(p => s"""<measType p="$p">N$p</measType>""").mkString
+        val rs = (1 to nRs)
+          .map(p => s"""<r p="$p">$p.5</r>""").mkString
+        val xml =
+          s"""<measCollecFile><fileHeader><measCollec beginTime="t"/></fileHeader>
+             |<measData><measInfo measInfoId="M">$types
+             |<measValue measObjLdn="a=b">$rs</measValue>
+             |</measInfo></measData></measCollecFile>""".stripMargin
+        val rows = XmlMeas.flatten(Seq((1, xml)).toDF("fid", "xml"), "xml", "fid")
+          .collect()
+        rows.length == nRs && rows.forall { r =>
+          val name = r.getAs[String]("kpiName")
+          val p = r.getAs[String]("kpiId").toInt
+          if (p <= nTypes) name == s"N$p" else name == s"UNKNOWN_$p"
+        }
+    })
+  }
+
+  test("NIL never survives the sentinel cast; numeric strings round-trip") {
+    holds(10)(Prop.forAll(
+      Gen.listOfN(20, Gen.oneOf("NIL", "1", "2.25", "-3.5"))) { vals =>
+      val out = Cleanse.sentinelToZeroCast("v")(vals.toDF("v"))
+        .collect().map(_.getDouble(0)).toSeq
+      out == vals.map(v => if (v == "NIL") 0.0 else v.toDouble)
+    })
+  }
+
+  test("minhash signature: length and range invariants") {
+    holds(12)(Prop.forAll(text) { t =>
+      val toks = t.trim.split(" ").count(_.nonEmpty)
+      toks < 3 || {
+        val sig = Seq(t).toDF("text")
+          .withColumn("sh", Dedup.distinctShingles(col("text"), 3))
+          .withColumn("bh", Dedup.baseHashes(col("sh")))
+          .select(Dedup.minhashSignature(col("bh"), 8).as("sig"))
+          .head.getSeq[Long](0)
+        sig.length == 8 && sig.forall(v => v >= 0 && v < Dedup.MinhashP)
+      }
+    })
+  }
+
+  test("fingerprints are a deduplicated subset of shingle hashes") {
+    holds(12)(Prop.forAll(text) { t =>
+      val r = Seq(t).toDF("text")
+        .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
+        .select(col("h"), TextAnalysis.fingerprintsFromHashes(col("h"), 4).as("fp"))
+        .head
+      val h = r.getSeq[Long](0).toSet
+      val fp = r.getSeq[Long](1)
+      fp.toSet.subsetOf(h) && fp.distinct.length == fp.length
+    })
+  }
+}
