@@ -10,6 +10,7 @@ object Bench {
     try SparkEntry.queries("q01_agg_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.gc() // untimed: isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -51,6 +51,22 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("cohort"))
     }),
 
+    // ---- HLL sketch distinct (SURVEY §7.3): approx_count_distinct is
+    //      partially aggregated map-side (mergeable HLL registers — the
+    //      property that makes sketches work at 100 TB). Each engine's
+    //      HLL estimate differs, so the cross-engine check is the error
+    //      BOUND, not the estimate: both must land within 5% of exact. ----
+    "q18_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.05).as("within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- Session windows (30-min inactivity gap) per user ----
     "q46_session_window" -> ((s, d) => {
       Tables.events(s, d)
@@ -73,6 +89,12 @@ object AdvancedQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q18_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))::DOUBLE
+        |    / count(DISTINCT user_id)) <= 0.05 AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q45_asof_join" ->
       """WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),

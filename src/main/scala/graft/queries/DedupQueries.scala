@@ -45,21 +45,24 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ---- SimHash near-dup pairs via chunk banding + Hamming verify ----
+    // ---- SimHash near-dup pairs via chunk banding + Hamming verify.
+    //      The simhash rides through the bucket groupBy inside the id
+    //      struct (an 8-byte payload), so the verify needs no rejoin
+    //      and the signature lineage is computed exactly once. ----
     "q36_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("th", Dedup.tokenHashes(col("text")))
         .select(col("doc_id"), Dedup.simhashFromHashes(col("th")).as("sim"))
-      val chunks = docs.select(col("doc_id"),
+      val chunks = docs.select(
+        struct(col("doc_id"), col("sim")).as("ds"),
         posexplode(Dedup.simhashChunks(col("sim"), ChunkBits, NChunks))
           .as(Seq("c", "ck")))
-      Dedup.pairsFromBuckets(chunks, Seq("c", "ck"), "doc_id")
-        .join(docs.select(col("doc_id").as("a_id"), col("sim").as("sima")), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sim").as("simb")), "b_id")
-        .withColumn("ham", Dedup.hamming(col("sima"), col("simb")))
+      Dedup.pairsFromBuckets(chunks, Seq("c", "ck"), "ds")
+        .withColumn("ham", Dedup.hamming(col("a_id.sim"), col("b_id.sim")))
         .filter(col("ham") <= 3)
-        .select(col("a_id"), col("b_id"), col("ham"))
+        .select(col("a_id.doc_id").as("a_id"), col("b_id.doc_id").as("b_id"),
+          col("ham"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
