@@ -1,0 +1,80 @@
+package graft
+
+import graft.flows.Flows
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** End-to-end drains of the reference's four flows (SURVEY.md §3) on
+  * temp dirs with a file sink standing in for Kafka. */
+class FlowsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
+
+  private val xml =
+    """<measCollecFile><fileHeader><measCollec beginTime="t0"/></fileHeader>
+      |<measData><managedElement localDn="SubNetwork=TN,ManagedElement=ME1"/>
+      |<measInfo measInfoId="M"><job jobId="j"/>
+      |<granPeriod duration="PT900S" endTime="t1"/>
+      |<measType p="1">K1</measType>
+      |<measValue measObjLdn="eNodeB=N7,Cell=1"><r p="1">4.5</r><r p="2">NIL</r></measValue>
+      |</measInfo></measData></measCollecFile>""".stripMargin
+
+  private def mkFlow(): (Flows.FlowDirs, String) = {
+    val root = Files.createTempDirectory("flow_").toString
+    Seq("in", "proc", "bak", "out").foreach(d =>
+      Files.createDirectories(Paths.get(root, d)))
+    (Flows.FlowDirs(s"$root/in", s"$root/proc", s"$root/bak"), root)
+  }
+
+  private def fileSink(dir: String): DataFrame => Unit =
+    df => df.write.mode("append").parquet(dir)
+
+  test("xmlFast flow: flatten → publish → backup/move → clean audit") {
+    val (dirs, root) = mkFlow()
+    Files.writeString(Paths.get(dirs.input, "a.xml"), xml)
+    val r = Flows.xmlFast(spark, dirs, fileSink(s"$root/out/data"), nowMillis = 7L)
+    assert(r.files === 1 && r.rows === 2 && r.ok && r.remaining === 0)
+    val vals = spark.read.parquet(s"$root/out/data").collect().map(_.getString(0))
+    assert(vals.exists(v => v.contains("\"nodeid\":\"N7\"") && v.contains("\"kpiValue\":4.5")))
+    assert(vals.exists(_.contains("\"kpiName\":\"UNKNOWN_2\"")))
+    assert(!vals.exists(_.contains("localDn"))) // xml-fast variant has no localDn
+    assert(Files.exists(Paths.get(dirs.processed, "processed_7_a.xml")))
+    assert(new java.io.File(dirs.backup).list().count(_.startsWith("backup_")) === 1)
+  }
+
+  test("gzip flow: gunzip stage, 9-field variant drops nodeid") {
+    val (dirs, root) = mkFlow()
+    val gz = s"$root/gz"; Files.createDirectories(Paths.get(gz))
+    val zos = new GZIPOutputStream(new java.io.FileOutputStream(s"$gz/a.xml.gz"))
+    zos.write(xml.getBytes("UTF-8")); zos.close()
+    val r = Flows.gzipXml(spark, gz, dirs, fileSink(s"$root/out/data"), nowMillis = 7L)
+    assert(r.files === 1 && r.rows === 2 && r.remaining === 0)
+    val vals = spark.read.parquet(s"$root/out/data").collect().map(_.getString(0))
+    assert(!vals.exists(_.contains("nodeid"))) // P3 projection
+    assert(vals.exists(_.contains("\"measObjLdn\":\"eNodeB=N7,Cell=1\"")))
+  }
+
+  test("hardware flow: localDn present, raw measObjLdn, no nodeid") {
+    val (dirs, root) = mkFlow()
+    Files.writeString(Paths.get(dirs.input, "hw.xml"), xml)
+    val r = Flows.hardware(spark, dirs, fileSink(s"$root/out/data"), nowMillis = 7L)
+    assert(r.rows === 2)
+    val vals = spark.read.parquet(s"$root/out/data").collect().map(_.getString(0))
+    assert(vals.forall(_.contains("\"localDn\":\"SubNetwork=TN,ManagedElement=ME1\"")))
+    assert(!vals.exists(_.contains("nodeid")))
+  }
+
+  test("empty input dir: branch-if-empty short-circuits cleanly") {
+    val (dirs, root) = mkFlow()
+    val r = Flows.xmlFast(spark, dirs, fileSink(s"$root/out/data"))
+    assert(r === Flows.FlowReport(0, 0L, ok = true, remaining = 0))
+    assert(!Files.exists(Paths.get(root, "out", "data")))
+  }
+}
