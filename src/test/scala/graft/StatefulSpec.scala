@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.Stateful
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.{Files, Paths}
+
+class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.local(4)
+
+  // session is shared across suites in one forked JVM (getOrCreate) —
+  // do NOT stop it here or concurrently-running suites lose their session
+  override def afterAll(): Unit = ()
+
+  test("mapGroupsWithState totals accumulate across drains via checkpointed state") {
+    val in = Files.createTempDirectory("st_in_").toString
+    val chk = Files.createTempDirectory("st_chk_").toString
+    val out = Files.createTempDirectory("st_out_").toString
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val q = Stateful.runningTotals(
+          spark.readStream.schema(schema).json(in), "key", "v")
+        .toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"key":1,"v":2.0}
+        |{"key":1,"v":3.0}
+        |{"key":2,"v":10.0}""".stripMargin)
+    drain()
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"key":1,"v":5.0}""")
+    drain() // state restored from checkpoint → totals continue
+    val rows = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val lastBatch = rows.map(_._4).max
+    val finalKey1 = rows.filter(r => r._1 == 1L && r._4 == lastBatch).head
+    assert(finalKey1._2 === 3L && finalKey1._3 === 10.0) // 2+3 then +5
+    // key 2 untouched in batch 2 → emitted only in batch 1 with its total
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet === Set((1L, 10.0)))
+  }
+}
