@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output passes through raw (no sbt [info]/[error] prefixes) so
 // Bench's single JSON line lands on stdout exactly as printed.
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

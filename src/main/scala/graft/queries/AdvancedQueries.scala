@@ -67,6 +67,19 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Salted two-phase aggregation (skew posture): the partial
+    //      (key, salt) phase bounds a hot key's share per task; the
+    //      merge phase restores exact per-key totals. Oracle = plain
+    //      aggregation (salting must be semantically invisible). ----
+    "q47_salted_agg" -> ((s, d) => {
+      graft.ext.Skew.saltedSumCount(
+          Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+          secondary = "l_orderkey", salts = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_value"), 2).as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- Session windows (30-min inactivity gap) per user ----
     "q46_session_window" -> ((s, d) => {
       Tables.events(s, d)
@@ -104,6 +117,11 @@ object AdvancedQueries extends QueryPack {
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q47_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q46_session_window" ->
       """WITH l AS (SELECT user_id, ts,

