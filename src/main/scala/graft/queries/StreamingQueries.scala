@@ -31,7 +31,7 @@ object StreamingQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_tumbling" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft_stream_").toString
-      Tables.events(s, d).coalesce(1).write.mode("overwrite").json(s"$tmp/in")
+      Tables.events(s, d).write.mode("overwrite").json(s"$tmp/in")
       val stream = s.readStream.schema(EventSchema).json(s"$tmp/in")
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
