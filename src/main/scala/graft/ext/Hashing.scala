@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit positive hash of a string column (15 hex nibbles < 2^60). */
+  /** 60-bit positive hash of a string column (15 hex nibbles < 2^60).
+    * Backed by the codegen'd [[graft.functions.Md5Long60]] expression —
+    * same value as `conv(substring(md5(x),1,15),16,10)` without the
+    * hex-string round trip (the hot primitive of dedup/fingerprints). */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Md5Long60(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("binary"))))
 
   /** Seeded variant: an independent hash family member per seed, used for
     * MinHash permutations and LSH hyperplanes. */
