@@ -29,6 +29,37 @@ object StreamingQueries extends QueryPack {
     StructField("props", StringType)))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Streaming exact dedup: the same corpus lands twice in the
+    //      source dir; stateful dropDuplicates keeps one copy per
+    //      event_id across micro-batches. Oracle = plain aggregation of
+    //      the original (dedup must be semantically invisible). ----
+    "q48_stream_dedup" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_sdedup_").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").json(s"$tmp/in")
+      ev.write.mode("append").json(s"$tmp/in") // duplicate copy
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val q = s.readStream.schema(schema).json(s"$tmp/in")
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "q42_stream_tumbling" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft_stream_").toString
       Tables.events(s, d).write.mode("overwrite").json(s"$tmp/in")
@@ -50,6 +81,10 @@ object StreamingQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q48_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q42_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
