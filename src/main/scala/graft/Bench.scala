@@ -9,17 +9,19 @@ object Bench {
     // per-query numbers measure the queries, not first-run warmup.
     try SparkEntry.queries("q01_agg_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // best-of-2 per query: the host shows bursty external CPU
-    // contention (2-5× per-query swings) — the min of two runs is a far
-    // more representative steady-state number than a single sample.
+    // Best-of-2 for non-trivial queries: the host shows bursty external
+    // CPU contention (2-5× per-query swings) — the min of two runs is a
+    // far more representative steady-state number than one sample. Sub-
+    // second queries keep a single run to bound total bench time.
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      System.gc() // untimed: isolate queries from each other's garbage
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        System.gc() // untimed: isolate queries from each other's garbage
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      val first = timed(fn)
+      name -> (if (first > 1.0) math.min(first, timed(fn)) else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

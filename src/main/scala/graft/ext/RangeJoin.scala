@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketized range (interval) join — the scalable composition for
+  * "point falls inside [start, end)" joins, which Spark would otherwise
+  * execute as a broadcast-nested-loop over the inequality.
+  *
+  * Each range explodes into the fixed-width time buckets it overlaps;
+  * points compute their single bucket; the join becomes an equi-join on
+  * the bucket key (shuffle-partitionable, AQE-coalescible) followed by
+  * the exact range predicate. Cost: |ranges| × (span/width) exploded
+  * rows — pick `bucketSeconds` near the typical range span so ranges
+  * explode into O(1) buckets. Standard time-series/interval layout.
+  */
+object RangeJoin {
+
+  private def bucketOf(ts: Column, width: Long): Column =
+    floor(unix_timestamp(ts) / width)
+
+  /** Join `points` (timestamp `pointTs`) to `ranges` ([startCol,
+    * endCol) exclusive-end) on containment. */
+  def pointInRange(points: DataFrame, pointTs: String,
+      ranges: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val pb = points.withColumn("__bucket",
+      bucketOf(col(pointTs), bucketSeconds))
+    val rb = ranges.withColumn("__bucket",
+      explode(sequence(
+        bucketOf(col(startCol), bucketSeconds),
+        // end is exclusive: the bucket of (end - 1s) is the last overlapped
+        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+    pb.join(rb, "__bucket")
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("__bucket")
+  }
+}

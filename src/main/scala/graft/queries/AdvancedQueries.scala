@@ -67,6 +67,25 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Range join, bucketized (scale path for interval joins):
+    //      lineitems shipped within 30 days of a sampled order's date.
+    //      Oracle = the plain inequality join (bucketization must be
+    //      semantically invisible). ----
+    "q49_range_join" -> ((s, d) => {
+      val ranges = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("range_id"),
+          col("o_orderdate").as("start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end"))
+      val joined = graft.ext.RangeJoin.pointInRange(
+        Tables.lineitem(s, d).select(col("l_shipdate"), col("l_quantity")),
+        "l_shipdate", ranges, "start", "end",
+        bucketSeconds = 30L * 24 * 3600)
+      joined.groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("range_id"))
+    }),
+
     // ---- Salted two-phase aggregation (skew posture): the partial
     //      (key, salt) phase bounds a hot key's share per task; the
     //      merge phase restores exact per-key totals. Oracle = plain
@@ -117,6 +136,15 @@ object AdvancedQueries extends QueryPack {
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q49_range_join" ->
+      """SELECT o_orderkey AS range_id, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM (SELECT o_orderkey, o_orderdate AS s,
+        |        o_orderdate + INTERVAL 30 DAY AS e
+        |      FROM orders WHERE o_orderkey % 997 = 0) r
+        |JOIN lineitem ON l_shipdate >= s AND l_shipdate < e
+        |GROUP BY range_id ORDER BY range_id""".stripMargin,
 
     "q47_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
