@@ -72,6 +72,20 @@ object Similarity {
         transform(col(embCol), x => x.cast("double") / col("__nrm")))
       .drop("__nrm")
 
+  /** IVF assignment: each vector joins its nearest centroid's inverted
+    * list (argmax cosine over the broadcast centroid set, deterministic
+    * tie-break on centroid id). With unit vectors, cosine = dot. At
+    * scale the centroid set stays small (broadcast) while the corpus
+    * partitions by cell — queries then probe only `nprobe` cells. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(dot(col("ne"), col("ce")), 6).desc, col("c_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ne"), col("c_id").as("cell"))
+  }
+
   /** Exact brute-force cosine top-k over PRE-NORMALIZED vectors:
     * broadcast `queries` (q_id, qe) against the corpus (vec_id, ne),
     * rank per query. Rank key is cosine rounded to 6dp with id

@@ -58,6 +58,35 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // ---- IVF ANN: sampled centroids → inverted lists → 2-probe search.
+    //      The second approximate scale path next to LSH (q39): cells
+    //      partition the corpus; a query scans only its nprobe nearest
+    //      cells' lists. ----
+    "q50_ann_ivf" -> ((s, d) => {
+      val e = prepped(s, d)
+      val cents = e.filter(col("vec_id") % 40 === 7)
+        .select(col("vec_id").as("c_id"), col("ne").as("ce"))
+      val assigned = Similarity.ivfAssign(e, cents)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(round(Similarity.dot(col("qe"), col("ce")), 6).desc, col("c_id"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+      val cand = probes.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.dot(col("qe"), col("ne")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("vec_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // ---- Embedding-cosine near-pair mining via 4-plane bucket join ----
     "q40_embedding_pairs" -> ((s, d) => {
       val e = prepped(s, d, PairPlanes)
@@ -126,6 +155,27 @@ object SimilarityQueries extends QueryPack {
          |  FROM q JOIN e ON e.bucket = q.qb AND e.vec_id != q.q_id),
          |r AS (SELECT q_id, vec_id, c, row_number() OVER (
          |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, round(c, 4) AS cos
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q50_ann_ivf" ->
+      s"""WITH ${preppedCte(0)},
+         |cents AS (SELECT vec_id AS c_id, ne AS ce FROM e WHERE vec_id % 40 = 7),
+         |assign AS (SELECT vec_id, ne, cell FROM (
+         |  SELECT e.vec_id, e.ne, c.c_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY round(${dotSql("e.ne", "c.ce")}, 6) DESC, c.c_id) AS rn
+         |  FROM e, cents c) t WHERE rn = 1),
+         |probes AS (SELECT q_id, qe, cell FROM (
+         |  SELECT e.vec_id AS q_id, e.ne AS qe, c.c_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY round(${dotSql("e.ne", "c.ce")}, 6) DESC, c.c_id) AS rn
+         |  FROM e, cents c WHERE e.vec_id % 50 = 0) t WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id, ${dotSql("p.qe", "a.ne")} AS c
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |  WHERE a.vec_id != p.q_id),
+         |r AS (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM cand)
          |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, round(c, 4) AS cos
          |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
