@@ -67,6 +67,26 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Multi-flow merge (SURVEY §2.7): the reference's four flows
+    //      union logically in Kafka; engine-side this is unionByName
+    //      with missing-column tolerance (schemas drift across flows). ----
+    "q51_union_by_name" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val flowA = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val flowB = ev.filter(col("event_type") === "view")
+        .select(col("value"), col("event_id"), col("user_id")) // reordered
+      val flowC = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"))               // value missing
+      flowA.unionByName(flowB)
+        .unionByName(flowC, allowMissingColumns = true)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_valued"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("cohort"))
+    }),
+
     // ---- Range join, bucketized (scale path for interval joins):
     //      lineitems shipped within 30 days of a sampled order's date.
     //      Oracle = the plain inequality join (bucketization must be
@@ -136,6 +156,17 @@ object AdvancedQueries extends QueryPack {
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q51_union_by_name" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+        |  UNION ALL BY NAME
+        |  SELECT value, event_id, user_id FROM events WHERE event_type = 'view'
+        |  UNION ALL BY NAME
+        |  SELECT event_id, user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id % 10 AS cohort, count(*) AS n,
+        |  count(value) AS n_valued, round(sum(value), 2) AS sum_value
+        |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "q49_range_join" ->
       """SELECT o_orderkey AS range_id, count(*) AS n,

@@ -50,6 +50,27 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.File(out, "event_type=click").exists())
   }
 
+  test("corrupt JSON records: PERMISSIVE captures, DROPMALFORMED skips") {
+    val dir = Files.createTempDirectory("corrupt_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+      """{"kpiName":"A","kpiValue":"1"}
+        |{not json at all
+        |{"kpiName":"B","kpiValue":"2"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("kpiName", StringType), StructField("kpiValue", StringType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows querying only the corrupt column straight off the
+    // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, per docs
+    val permissive = spark.read.schema(schema).json(dir).cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+  }
+
   test("streaming CSV flow: 69-col schema, dotted names, full cellKpi cleanse") {
     val in = Files.createTempDirectory("csv_in_").toString
     val out = Files.createTempDirectory("csv_out_").toString
