@@ -60,10 +60,10 @@ object AdvancedQueries extends QueryPack {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("approx"))
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")).cast("double")
-            / col("exact_users") <= 0.05).as("within_5pct"))
+            / col("exact_users") <= 0.10).as("within_10pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -145,7 +145,7 @@ object AdvancedQueries extends QueryPack {
     "q18_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))::DOUBLE
-        |    / count(DISTINCT user_id)) <= 0.05 AS within_5pct
+        |    / count(DISTINCT user_id)) <= 0.10 AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q45_asof_join" ->

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state (SURVEY.md §2.8 ST10 — greenfield relative to
   * the reference): per-key accumulators over `mapGroupsWithState`.
@@ -13,6 +13,61 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 object Stateful {
 
   final case class KeyedTotals(key: Long, n: Long, total: Double)
+
+  final case class Session(key: Long, n: Long, total: Double,
+      start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+  /** Event-time sessionizer over `flatMapGroupsWithState`: events extend
+    * the key's open session; a COMPLETED session is emitted only once
+    * the event-time timeout (the inactivity gap, tracked against the
+    * watermark) fires. This is the custom-state generalization of
+    * `session_window` — arbitrary per-session payloads and emission
+    * policy. The watermark is applied here (after the projection —
+    * renaming a column drops its watermark metadata); append mode. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, gapMs: Long,
+      watermarkDelay: String = "1 minute"): Dataset[Session] = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("long").as("_1"),
+        col(tsCol).cast("timestamp").as("_2"),
+        col(valCol).cast("double").as("_3"))
+      .withWatermark("_2", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            // inactivity gap elapsed (watermark passed end + gap):
+            // emit the completed session and clear
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var cur = state.getOption
+            val completed = Seq.newBuilder[Session]
+            sorted.foreach { case (_, ts, v) =>
+              cur match {
+                case Some(s) if ts.getTime - s.end.getTime < gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, total = s.total + v,
+                    end = if (ts.after(s.end)) ts else s.end))
+                case Some(s) => // gap exceeded within the batch
+                  completed += s
+                  cur = Some(Session(key, 1, v, ts, ts))
+                case None =>
+                  cur = Some(Session(key, 1, v, ts, ts))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            completed.result().iterator
+          }
+      }
+  }
 
   /** Accumulate count+sum per key across micro-batches. Emits the
     * updated totals for every key touched in the batch (update-mode

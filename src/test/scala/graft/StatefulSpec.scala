@@ -51,4 +51,46 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     // key 2 untouched in batch 2 → emitted only in batch 1 with its total
     assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet === Set((1L, 10.0)))
   }
+
+  test("flatMapGroupsWithState sessionizer emits completed sessions on gap/timeout") {
+    val in = Files.createTempDirectory("sess_in_").toString
+    val chk = Files.createTempDirectory("sess_chk_").toString
+    val out = Files.createTempDirectory("sess_out_").toString
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema).json(in)
+      val q = graft.streaming.Stateful
+        .sessionize(src, "key", "ts", "v", gapMs = 10 * 60 * 1000)
+        .toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // one key, two bursts separated by > gap INSIDE one batch → first
+    // session completes immediately; second stays open in state
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"key":7,"ts":"2025-01-01T10:00:00.000Z","v":1.0}
+        |{"key":7,"ts":"2025-01-01T10:05:00.000Z","v":2.0}
+        |{"key":7,"ts":"2025-01-01T11:00:00.000Z","v":5.0}""".stripMargin)
+    drain()
+    val afterB1 = spark.read.parquet(s"$out/data").collect()
+    assert(afterB1.length === 1)
+    assert(afterB1.head.getAs[Long]("n") === 2 && afterB1.head.getAs[Double]("total") === 3.0)
+    // advance the watermark far past 11:00+gap → event-time timeout
+    // fires for the open session on the next drains
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"key":9,"ts":"2025-01-01T13:00:00.000Z","v":0.5}""")
+    drain()
+    drain() // timeout processed once the committed watermark advances
+    val all = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    assert(all.contains((7L, 1L, 5.0))) // the 11:00 session, closed by timeout
+  }
 }
