@@ -111,12 +111,35 @@ object AdvancedQueries extends QueryPack {
     //      merge phase restores exact per-key totals. Oracle = plain
     //      aggregation (salting must be semantically invisible). ----
     "q47_salted_agg" -> ((s, d) => {
-      graft.ext.Skew.saltedSumCount(
-          Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+      // synthesize a genuinely hot key (half the rows) so the salted
+      // two-phase shape is exercised under real skew
+      val skewed = Tables.lineitem(s, d).withColumn("k",
+        when(col("l_orderkey") % 2 === 0, lit("HOT"))
+          .otherwise(col("l_returnflag")))
+      graft.ext.Skew.saltedSumCount(skewed, "k", "l_quantity",
           secondary = "l_orderkey", salts = 16)
-        .select(col("l_returnflag"),
-          round(col("sum_value"), 2).as("sum_qty"), col("n"))
-        .orderBy(col("l_returnflag"))
+        .select(col("k"), round(col("sum_value"), 2).as("sum_qty"), col("n"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- Pivot (crosstab): per-cohort event-type totals as columns ----
+    "q52_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("cohort"))
+    }),
+
+    // ---- Unpivot (melt): wide metric columns → (metric, value) rows ----
+    "q53_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 1000 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (metric, value)"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     }),
 
     // ---- Session windows (30-min inactivity gap) per user ----
@@ -178,9 +201,28 @@ object AdvancedQueries extends QueryPack {
         |GROUP BY range_id ORDER BY range_id""".stripMargin,
 
     "q47_salted_agg" ->
-      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT' ELSE l_returnflag END AS k,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY k ORDER BY k""".stripMargin,
+
+    "q52_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (event_type = 'view'), 2) AS view
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q53_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey % 1000 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 1000 = 0)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q46_session_window" ->
       """WITH l AS (SELECT user_id, ts,
