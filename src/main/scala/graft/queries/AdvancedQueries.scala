@@ -122,6 +122,20 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // ---- Approx percentile sketch (KLL/GK-style): like q18, engines'
+    //      sketches differ, so the check is the error bound — both
+    //      medians must land within 5% of exact. ----
+    "q54_approx_percentile" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("exact_med"),
+          expr("percentile_approx(value, 0.5, 10000)").as("approx_med"))
+        .select(col("event_type"), round(col("exact_med"), 4).as("exact_med"),
+          (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.05)
+            .as("within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- Pivot (crosstab): per-cohort event-type totals as columns ----
     "q52_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -204,6 +218,12 @@ object AdvancedQueries extends QueryPack {
       """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT' ELSE l_returnflag END AS k,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY k ORDER BY k""".stripMargin,
+
+    "q54_approx_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_med,
+        |  (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |    / quantile_cont(value, 0.5)) <= 0.05 AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q52_pivot" ->
       """SELECT user_id % 10 AS cohort,
