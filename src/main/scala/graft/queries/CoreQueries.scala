@@ -192,6 +192,23 @@ object CoreQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- SQL surface: the same engine via spark.sql over temp views
+    //      (correlated EXISTS + scalar subquery, Catalyst-planned) ----
+    "q56_sql_api" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_customers,
+          |  round(sum(c_acctbal), 2) AS sum_acctbal
+          |FROM v_customer c
+          |WHERE EXISTS (SELECT 1 FROM v_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > (SELECT avg(o_totalprice)
+          |                                      FROM v_orders))
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // ---- Correlated-style aggregation: avg filter subquery (having) ----
     "q16_having_avg" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -333,6 +350,17 @@ object CoreQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q56_sql_api" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > (SELECT avg(o_totalprice)
+        |                                      FROM orders))
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q16_having_avg" ->
       """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,

@@ -60,6 +60,48 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Stream-stream interval join (ST10): purchases join clicks of
+    //      the same user within the preceding hour. Both sides are
+    //      watermarked streams; the time-bound condition lets Spark
+    //      expire join state. Joined rows land in parquet via
+    //      foreachBatch; the small final aggregate runs in batch. ----
+    "q55_stream_stream_join" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_ssj_").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").json(s"$tmp/in")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      def src = s.readStream.schema(schema).json(s"$tmp/in")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy((col("p_user") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("p_value")), 2).as("sum_value"))
+        .orderBy(col("cohort"))
+    }),
+
     "q42_stream_tumbling" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft_stream_").toString
       Tables.events(s, d).write.mode("overwrite").json(s"$tmp/in")
@@ -81,6 +123,15 @@ object StreamingQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q55_stream_stream_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id % 10 AS cohort, count(*) AS n_pairs,
+        |  round(sum(p.value), 2) AS sum_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
     "q48_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
