@@ -68,13 +68,12 @@ object StreamingQueries extends QueryPack {
     "q55_stream_stream_join" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft_ssj_").toString
       Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").json(s"$tmp/in")
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
       def src = s.readStream.schema(schema).json(s"$tmp/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
