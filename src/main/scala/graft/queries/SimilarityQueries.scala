@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries extends QueryPack {
 
   private val Dims = 64      // embeddings.embedding is 64-dim (FIXTURES.md §6)
-  private val AnnPlanes = 8  // 256 buckets for top-k search
+  private val AnnPlanes = 4  // 16 buckets for top-k search (recall-tuned, see q57)
   private val PairPlanes = 4 // 16 buckets for pair mining
 
   /** (vec_id, ne [, bucket]) — normalized corpus, optional LSH bucket. */
@@ -40,7 +40,10 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rn"))
     }),
 
-    // ---- Approximate scale path: top-3 within the 8-plane LSH bucket ----
+    // ---- Approximate scale path: top-3 within the sign-LSH bucket.
+    //      Plane count tuned by measurement (q57): 8 planes gave 256
+    //      buckets ≈ 2 vectors each on this corpus → 3% recall; 4
+    //      planes (16 buckets) reaches ~27% at 16× candidate pruning. ----
     "q39_ann_lsh" -> ((s, d) => {
       val e = prepped(s, d, AnnPlanes)
       val q = e.filter(col("vec_id") % 50 === 0)
@@ -98,6 +101,26 @@ object SimilarityQueries extends QueryPack {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- ANN quality evaluation: recall of the approximate paths
+    //      against the exact brute-force top-3 (the metric an ANN
+    //      deployment is judged by). Composes the three queries. ----
+    "q57_ann_recall" -> ((s, d) => {
+      val bf = queries("q38_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val lsh = queries("q39_ann_lsh")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("lsh_hit"))
+      val ivf = queries("q50_ann_ivf")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("ivf_hit"))
+      bf.join(lsh, Seq("q_id", "vec_id"), "left")
+        .join(ivf, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("lsh_hit"), lit(0))).as("n_lsh"),
+          sum(coalesce(col("ivf_hit"), lit(0))).as("n_ivf"))
+        .select(col("n_true"), col("n_lsh"), col("n_ivf"),
+          round(col("n_lsh").cast("double") / col("n_true"), 4).as("recall_lsh"),
+          round(col("n_ivf").cast("double") / col("n_true"), 4).as("recall_ivf"))
     })
   )
 
@@ -136,7 +159,27 @@ object SimilarityQueries extends QueryPack {
        |  FROM raw)""".stripMargin
   }
 
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] = {
+    val base = baseOracles
+    val q57 =
+      s"""WITH bf AS (${base("q38_cosine_topk")}),
+         |lshq AS (${base("q39_ann_lsh")}),
+         |ivfq AS (${base("q50_ann_ivf")}),
+         |j AS (SELECT bf.q_id, bf.vec_id,
+         |    CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS lh,
+         |    CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ih
+         |  FROM bf
+         |  LEFT JOIN lshq l ON bf.q_id = l.q_id AND bf.vec_id = l.vec_id
+         |  LEFT JOIN ivfq i ON bf.q_id = i.q_id AND bf.vec_id = i.vec_id)
+         |SELECT count(*) AS n_true,
+         |  CAST(sum(lh) AS BIGINT) AS n_lsh, CAST(sum(ih) AS BIGINT) AS n_ivf,
+         |  round(sum(lh)::DOUBLE / count(*), 4) AS recall_lsh,
+         |  round(sum(ih)::DOUBLE / count(*), 4) AS recall_ivf
+         |FROM j""".stripMargin
+    base + ("q57_ann_recall" -> q57)
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     "q38_cosine_topk" ->
       s"""WITH ${preppedCte(0)},
          |q AS (SELECT vec_id AS q_id, ne AS qe FROM e WHERE vec_id % 50 = 0),
