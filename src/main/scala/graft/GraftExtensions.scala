@@ -3,7 +3,8 @@ package graft
 import graft.functions.Md5Long60
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.BinaryType
 
 /** Engine extension point (SURVEY.md §7 ladder (c):
   * `SparkSessionExtensions`): registers the engine's native expressions
@@ -13,9 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the kernel consumes raw bytes; casting the argument to binary at
+    // build time makes md5long60(string_col) work from SQL (UTF-8 bytes)
+    // and turns un-castable argument types into an ANALYSIS error instead
+    // of an execution-time ClassCastException
     ext.injectFunction((
       FunctionIdentifier("md5long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
-      (children: Seq[Expression]) => Md5Long60(children.head)))
+      (children: Seq[Expression]) => Md5Long60(Cast(children.head, BinaryType))))
   }
 }

@@ -118,8 +118,14 @@ object Dedup {
     * (key, id) pairs. Buckets are hash-uniform by construction, so
     * collect_list stays tiny; a `maxBucket` guard drops degenerate
     * buckets (stop-fingerprint protection at scale). */
+  /** Default degenerate-bucket cap — referenced by the DuckDB oracles
+    * too, so engine and oracle drop exactly the same buckets at any
+    * scale (a silent cap only on one side would diverge once a bucket
+    * exceeds it). */
+  val DefaultMaxBucket: Int = 10000
+
   def pairsFromBuckets(rows: DataFrame, keyCols: Seq[String],
-      idCol: String, maxBucket: Int = 10000): DataFrame = {
+      idCol: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val ids = col("ids")
     val combos = flatten(transform(sequence(lit(1), size(ids) - 1),
       i => transform(slice(ids, i + 1, size(ids) - i),

@@ -31,22 +31,34 @@ object Flows {
   private def lifecycle(spark: SparkSession) =
     new FileLifecycle(spark.sparkContext.hadoopConfiguration)
 
-  /** Shared XML drain: flatten every *.xml in `dirs.input`, project the
-    * flow's variant columns, publish, then backup+move each file. */
+  /** Shared XML drain: flatten exactly the *.xml files listed in
+    * `dirs.input` AT DRAIN START, project the flow's variant columns,
+    * publish, then backup+move each listed file. Reading the explicit
+    * listing (not the directory) keeps the published set and the
+    * moved set identical — non-xml junk is never parsed, and files
+    * arriving mid-drain wait for the next drain instead of being
+    * published-but-never-moved (at-least-once stays confined to the
+    * documented failure path).
+    *
+    * Row count comes from an [[org.apache.spark.sql.Observation]] on the
+    * publish pass itself — one action total; the sink contract is that
+    * it CONSUMES the payload (every publish is an action). */
   private def xmlDrain(spark: SparkSession, dirs: FlowDirs,
       variant: Seq[String], sink: DataFrame => Unit,
       nowMillis: Long): FlowReport = {
     val fl = lifecycle(spark)
     val files = fl.auditRemaining(new Path(dirs.input), "*.xml")
     if (files.isEmpty) return FlowReport(0, 0L, ok = true, remaining = 0)
-    val flat = XmlMeas.readAndFlatten(spark, dirs.input)
+    val flat = XmlMeas.readAndFlatten(spark, files.map(_.toString))
     var rows = 0L
     // O3 branch-if-empty; O5 retry around the publish
     val ran = Runner.runIfNonEmpty(flat) { df =>
       val projected = df.select(variant.map(col): _*)
       Runner.retry(3) {
-        rows = projected.count()
-        sink(KafkaJsonSink.payload(projected, exclude = Set.empty))
+        val obs = org.apache.spark.sql.Observation()
+        val observed = projected.observe(obs, count(lit(1)).as("rows"))
+        sink(KafkaJsonSink.payload(observed, exclude = Set.empty))
+        rows = obs.get("rows").asInstanceOf[Long]
       }
     }
     files.foreach { f =>

@@ -133,8 +133,11 @@ object DedupQueries extends QueryPack {
          |bands AS (SELECT doc_id, bb.b,
          |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
          |  FROM sig, (VALUES $bandVals) AS bb(b)),
+         |bc AS (SELECT b, bh FROM bands GROUP BY b, bh
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+         |  FROM bc JOIN bands a ON a.b = bc.b AND a.bh = bc.bh
+         |    JOIN bands b ON b.b = bc.b AND b.bh = bc.bh
          |    AND a.doc_id < b.doc_id),
          |j AS (SELECT a_id, b_id, $JaccSql AS jacc
          |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
@@ -152,9 +155,12 @@ object DedupQueries extends QueryPack {
          |sim AS (SELECT doc_id, $bitExprs AS sim FROM th),
          |chunks AS (SELECT doc_id, sim, cc.c, (sim >> (cc.c * $ChunkBits)) % ${1 << ChunkBits} AS ck
          |  FROM sim, (VALUES $chunkVals) AS cc(c)),
+         |bc AS (SELECT c, ck FROM chunks GROUP BY c, ck
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS ham
-         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+         |  FROM bc JOIN chunks a ON a.c = bc.c AND a.ck = bc.ck
+         |    JOIN chunks b ON b.c = bc.c AND b.ck = bc.ck
          |    AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, ham FROM cand WHERE ham <= 3
          |ORDER BY a_id, b_id""".stripMargin
@@ -173,8 +179,11 @@ object DedupQueries extends QueryPack {
          |       WHEN len(h) > 0 THEN [list_min(h)]
          |       ELSE [] END) AS fps FROM hraw),
          |e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |bc AS (SELECT fp FROM e GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |  FROM bc JOIN e a ON a.fp = bc.fp JOIN e b ON b.fp = bc.fp
+         |    AND a.doc_id < b.doc_id),
          |j AS (SELECT a_id, b_id, $JaccSql AS jacc
          |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
          |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j

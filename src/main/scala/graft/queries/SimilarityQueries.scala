@@ -90,15 +90,22 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rn"))
     }),
 
-    // ---- Embedding-cosine near-pair mining via 4-plane bucket join ----
+    // ---- Embedding-cosine near-pair mining via 4-plane LSH buckets.
+    //      Candidates come from the guarded pairsFromBuckets (q36
+    //      pattern): the normalized vector rides the groupBy inside the
+    //      id struct, so the bucket lineage is computed ONCE and the
+    //      maxBucket guard caps any degenerate bucket — essential here
+    //      because sign-LSH buckets are NOT hash-uniform on real
+    //      embeddings (a hot bucket would make a raw self-join
+    //      quadratic). ----
     "q40_embedding_pairs" -> ((s, d) => {
       val e = prepped(s, d, PairPlanes)
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket")
-            && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", Similarity.dot(col("a.ne"), col("b.ne")))
+      val rows = e.select(struct(col("vec_id"), col("ne")).as("vn"),
+        col("bucket"))
+      graft.ext.Dedup.pairsFromBuckets(rows, Seq("bucket"), "vn")
+        .withColumn("cos", Similarity.dot(col("a_id.ne"), col("b_id.ne")))
         .filter(col("cos") >= 0.35)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        .select(col("a_id.vec_id").as("a_id"), col("b_id.vec_id").as("b_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -224,9 +231,12 @@ object SimilarityQueries extends QueryPack {
 
     "q40_embedding_pairs" ->
       s"""WITH ${preppedCte(PairPlanes)},
+         |bc AS (SELECT bucket FROM e GROUP BY bucket
+         |  HAVING count(*) BETWEEN 2 AND ${graft.ext.Dedup.DefaultMaxBucket}),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    ${dotSql("a.ne", "b.ne")} AS c
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM bc JOIN e a ON a.bucket = bc.bucket
+         |    JOIN e b ON b.bucket = bc.bucket AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(c, 4) AS cos FROM p
          |WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin
   )

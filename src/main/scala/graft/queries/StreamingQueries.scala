@@ -31,21 +31,28 @@ object StreamingQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Streaming exact dedup: the same corpus lands twice in the
-    //      source dir; stateful dropDuplicates keeps one copy per
-    //      event_id across micro-batches. Oracle = plain aggregation of
-    //      the original (dedup must be semantically invisible). ----
+    //      source dir; dropDuplicatesWithinWatermark keeps one copy per
+    //      event_id while the WATERMARK BOUNDS THE STATE — an entry is
+    //      evicted once the watermark passes its event time + delay, so
+    //      state holds one delay-window of ids instead of every id ever
+    //      seen (the unbounded-state killer at stream scale). Duplicates
+    //      here share the original's ts, so any delay covers them.
+    //      Oracle = plain aggregation of the original (dedup must be
+    //      semantically invisible). ----
     "q48_stream_dedup" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft_sdedup_").toString
       val ev = Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       ev.write.mode("overwrite").json(s"$tmp/in")
       ev.write.mode("append").json(s"$tmp/in") // duplicate copy
       val schema = StructType(Seq(
         StructField("event_id", LongType),
+        StructField("ts", TimestampType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
       val q = s.readStream.schema(schema).json(s"$tmp/in")
-        .dropDuplicates("event_id")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
         .writeStream.outputMode("append")
         .foreachBatch { (df: DataFrame, _: Long) =>
           df.write.mode("append").parquet(s"$tmp/out")

@@ -107,10 +107,16 @@ object XmlMeas {
     * source; `.gz` files decompress transparently via Hadoop codecs —
     * covers the reference's gzip flow S4) and flatten. */
   def readAndFlatten(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String): DataFrame = readAndFlatten(spark, Seq(path))
+
+  /** Read an EXPLICIT list of files/dirs — callers that list first and
+    * move after (the drain lifecycle) pass the listing here so the set
+    * read is exactly the set later archived. */
+  def readAndFlatten(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame = {
     val raw = spark.read
       .option("wholetext", "true")
-      .text(path)
+      .text(paths: _*)
       .withColumn("fileId", input_file_name())
     flatten(raw, "value", "fileId")
   }

@@ -51,7 +51,10 @@ object Stateful {
             sorted.foreach { case (_, ts, v) =>
               cur match {
                 case Some(s) if ts.getTime - s.end.getTime < gapMs =>
+                  // out-of-order merge (cross-batch, still above watermark):
+                  // extend BOTH bounds so start is the earliest contributor
                   cur = Some(s.copy(n = s.n + 1, total = s.total + v,
+                    start = if (ts.before(s.start)) ts else s.start,
                     end = if (ts.after(s.end)) ts else s.end))
                 case Some(s) => // gap exceeded within the batch
                   completed += s

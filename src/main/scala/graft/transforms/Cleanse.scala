@@ -103,12 +103,16 @@ object Cleanse {
     * deterministic `_N` suffixes on collisions; the returned map
     * restores the originals for a lossless round trip. */
   def canonicalizeNames(df: DataFrame): (DataFrame, Map[String, String]) = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // every assigned name is tracked so a suffixed candidate can never
+    // collide with a later literal column (e.g. 'a b','a.b','a_b_1')
+    val used = scala.collection.mutable.Set.empty[String]
     val renames = df.columns.map { c =>
       val base = c.replaceAll("[^A-Za-z0-9_]", "_")
-      val n = seen.getOrElse(base, 0)
-      seen(base) = n + 1
-      c -> (if (n == 0) base else s"${base}_$n")
+      var cand = base
+      var n = 0
+      while (used.contains(cand)) { n += 1; cand = s"${base}_$n" }
+      used += cand
+      c -> cand
     }
     (df.toDF(renames.map(_._2): _*), renames.toMap)
   }

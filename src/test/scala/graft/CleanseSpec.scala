@@ -111,4 +111,14 @@ class CleanseSpec extends AnyFunSuite {
     assert(restored.select(dirty.columns.map(c =>
       org.apache.spark.sql.functions.col(s"`$c`")): _*).count() === 1)
   }
+
+  test("canonicalizeNames: suffixed candidate can't collide with a later literal column") {
+    // 'a b' -> a_b, 'a.b' -> a_b_1, literal 'a_b_1' must NOT duplicate it
+    val df = Seq((1, 2, 3)).toDF("a b", "a.b", "a_b_1")
+    val (canon, mapping) = Cleanse.canonicalizeNames(df)
+    assert(canon.columns.distinct.length === canon.columns.length)
+    assert(mapping.values.toSet.size === 3) // invertible
+    val restored = Cleanse.restoreNames(canon, mapping)
+    assert(restored.columns.toSet === df.columns.toSet)
+  }
 }

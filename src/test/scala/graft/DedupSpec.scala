@@ -44,6 +44,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hs(1) > 3)
   }
 
+  test("pairsFromBuckets: maxBucket guard drops a deliberately hot bucket") {
+    // bucket 1 is hot (5 ids), bucket 2 is healthy (2 ids)
+    val rows = Seq((1, 10L), (1, 11L), (1, 12L), (1, 13L), (1, 14L),
+      (2, 20L), (2, 21L)).toDF("bucket", "id")
+    val guarded = Dedup.pairsFromBuckets(rows, Seq("bucket"), "id",
+      maxBucket = 4).collect()
+    // hot bucket contributes ZERO pairs; healthy bucket survives
+    assert(guarded.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((20L, 21L)))
+    // same input without the guard: 10 hot-bucket pairs + 1 healthy
+    val unguarded = Dedup.pairsFromBuckets(rows, Seq("bucket"), "id")
+    assert(unguarded.count() === 11)
+  }
+
   test("bagOfWordsKey is order-insensitive, contentKey is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
       (Dedup.bagOfWordsKey(col("x")) === Dedup.bagOfWordsKey(col("y"))).as("bowEq"),

@@ -31,6 +31,11 @@ class Md5Long60Spec extends AnyFunSuite with BeforeAndAfterAll {
     val sql = spark.sql(
       "SELECT md5long60(CAST('abc' AS BINARY)) AS h").head.getLong(0)
     assert(sql === 648541476951500027L)
+    // the SQL surface coerces strings to binary at build time — a bare
+    // string argument hashes its UTF-8 bytes instead of throwing a
+    // ClassCastException at execution
+    val str = spark.sql("SELECT md5long60('abc') AS h").head.getLong(0)
+    assert(str === 648541476951500027L)
   }
 
   test("survives whole-stage codegen over many rows (no interpreter fallback)") {

@@ -52,6 +52,52 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet === Set((1L, 10.0)))
   }
 
+  test("sessionizer: out-of-order merge extends session start backwards") {
+    val in = Files.createTempDirectory("sessoo_in_").toString
+    val chk = Files.createTempDirectory("sessoo_chk_").toString
+    val out = Files.createTempDirectory("sessoo_out_").toString
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val q = Stateful.sessionize(
+          spark.readStream.schema(schema).json(in),
+          "key", "ts", "v", gapMs = 10 * 60 * 1000)
+        .toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1 opens the session at 10:05 (watermark after it: 10:04)
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"key":3,"ts":"2025-01-01T10:05:00.000Z","v":1.0}""")
+    drain()
+    // batch 2: cross-batch OUT-OF-ORDER event at 10:04:30 — above the
+    // watermark, within the gap → merges and must pull start BACK
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"key":3,"ts":"2025-01-01T10:04:30.000Z","v":2.0}""")
+    drain()
+    // advance the watermark far past end+gap → timeout emits the session
+    Files.writeString(Paths.get(in, "b3.json"),
+      """{"key":99,"ts":"2025-01-01T13:00:00.000Z","v":0.1}""")
+    drain()
+    drain()
+    val s3 = spark.read.parquet(s"$out/data")
+      .where(col("key") === 3).collect()
+    assert(s3.length === 1)
+    val r = s3.head
+    assert(r.getAs[Long]("n") === 2 && r.getAs[Double]("total") === 3.0)
+    assert(r.getAs[java.sql.Timestamp]("start").toInstant.toString
+      === "2025-01-01T10:04:30Z")
+    assert(r.getAs[java.sql.Timestamp]("end").toInstant.toString
+      === "2025-01-01T10:05:00Z")
+  }
+
   test("flatMapGroupsWithState sessionizer emits completed sessions on gap/timeout") {
     val in = Files.createTempDirectory("sess_in_").toString
     val chk = Files.createTempDirectory("sess_chk_").toString

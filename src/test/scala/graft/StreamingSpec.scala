@@ -111,6 +111,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(new Path(done, "processed_5_g.xml.gz")))
   }
 
+  test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
+    val in = tmpDir("ddw_in_")
+    val chk = tmpDir("ddw_chk_")
+    val out = tmpDir("ddw_out_")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).json(in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: id=1 at 10:00; id=2 at 12:30 pushes the watermark to 11:30
+    writeJsonFile(in, "b1.json",
+      """{"id":1,"ts":"2025-01-01T10:00:00.000Z"}
+        |{"id":2,"ts":"2025-01-01T12:30:00.000Z"}""".stripMargin)
+    drain()
+    // batch 2: id=1 recurs at 11:45 — above the watermark, but its state
+    // entry expired at 10:00+1h < 11:30, so it is EMITTED AGAIN (this is
+    // the bounded-state contract: dedup holds one delay window, not
+    // every id ever seen). id=2 recurs inside its window → deduped.
+    writeJsonFile(in, "b2.json",
+      """{"id":1,"ts":"2025-01-01T11:45:00.000Z"}
+        |{"id":2,"ts":"2025-01-01T12:31:00.000Z"}""".stripMargin)
+    drain()
+    val counts = spark.read.parquet(s"$out/data")
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("watermark drops late rows across micro-batches (append mode)") {
     val in = tmpDir("wm_in_")
     val chk = tmpDir("wm_chk_")
