@@ -72,18 +72,69 @@ object Similarity {
         transform(col(embCol), x => x.cast("double") / col("__nrm")))
       .drop("__nrm")
 
-  /** IVF assignment: each vector joins its nearest centroid's inverted
-    * list (argmax cosine over the broadcast centroid set, deterministic
-    * tie-break on centroid id). With unit vectors, cosine = dot. At
-    * scale the centroid set stays small (broadcast) while the corpus
-    * partitions by cell — queries then probe only `nprobe` cells. */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(dot(col("ne"), col("ce")), 6).desc, col("c_id"))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("ne"), col("c_id").as("cell"))
+  /** k×d centroid matrix as ONE nested literal array column — the IVF
+    * assignment primitive. Centroids are plan-time literals (k·d doubles
+    * — ~50 KB at k=96, d=64 — independent of corpus size), so cell
+    * assignment is a pure per-row expression: NO crossJoin expansion, NO
+    * shuffle, NO window. This replaces the round-2 corpus×centroids
+    * window argmax, which shuffled the whole expanded frame by vec_id. */
+  private def centsLit(cents: Seq[Array[Double]]): Column =
+    typedLit(cents.map(_.toSeq))
+
+  /** Per-row dot products against the literal centroid matrix (one
+    * array element per centroid). Materialize with withColumn before
+    * consuming (Catalyst inlines nested higher-order expressions). */
+  def centroidDots(ne: Column, cents: Seq[Array[Double]]): Column =
+    transform(centsLit(cents), ce => dot(ne, ce))
+
+  /** Top-`m` centroid indices from a MATERIALIZED dots column, ranked by
+    * rounded dot desc with index tie-break — the same total order the
+    * SQL oracle's `ORDER BY round(dot,6) DESC, c` produces. */
+  def topCells(dots: Column, m: Int): Column =
+    transform(
+      slice(array_sort(transform(dots, (d, i) =>
+        struct((-round(d, 6)).as("nd"), i.as("c")))), 1, m),
+      s => s.getField("c"))
+
+  /** Lloyd k-means over a (vec_id, ne) sample, engine-portable: every
+    * float operation is a deterministic sequential fold so an external
+    * SQL oracle reproduces the centroids BIT-FOR-BIT:
+    *  - init = normalized vectors of the k smallest vec_ids;
+    *  - assignment = argmax rounded dot, centroid-index tie-break
+    *    (map-side expression against the literal centroid matrix);
+    *  - update = members sorted by vec_id, element-wise sequential sum
+    *    (0.0-init fold == SQL list_reduce's x1-init for +), divide by
+    *    count, renormalize; empty cells keep their previous centroid.
+    *
+    * Scale posture: the sample is aggregated on executors; only the k×d
+    * centroid matrix is collected per iteration (MLlib KMeans' own
+    * pattern — driver traffic is independent of corpus size). */
+  def trainKmeans(sample: DataFrame, k: Int, iters: Int,
+      dims: Int): Seq[Array[Double]] = {
+    def vecs(df: DataFrame, c: String): Seq[Array[Double]] =
+      df.collect().map(_.getAs[scala.collection.Seq[Double]](c).toArray).toSeq
+    var cents = vecs(sample.orderBy(col("vec_id")).limit(k).select(col("ne")), "ne")
+    require(cents.size == k, s"sample smaller than k=$k")
+    val zero = typedLit(Seq.fill(dims)(0.0))
+    for (_ <- 0 until iters) {
+      val upd = sample
+        .withColumn("dots", centroidDots(col("ne"), cents))
+        .withColumn("cell", element_at(topCells(col("dots"), 1), 1))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"),
+          count(lit(1)).as("cnt"))
+        .withColumn("ssum", aggregate(
+          transform(col("vs"), v => v.getField("ne")), zero,
+          (acc, x) => zip_with(acc, x, _ + _)))
+        .withColumn("mean", transform(col("ssum"), _ / col("cnt")))
+        .withColumn("nrm", sqrt(dot(col("mean"), col("mean"))))
+        .select(col("cell"), transform(col("mean"), _ / col("nrm")).as("ce"))
+      val updMap = upd.collect()
+        .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("ce").toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) => updMap.getOrElse(i, old) }
+    }
+    cents
   }
 
   /** Exact brute-force cosine top-k over PRE-NORMALIZED vectors:

@@ -45,6 +45,37 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length === 2)
   }
 
+  test("trainKmeans: deterministic unit centroids; empty cells keep init") {
+    // two tight clusters around x-axis and y-axis in 4 dims
+    val pts = Seq(
+      (0L, Seq(1f, 0.1f, 0f, 0f)), (2L, Seq(1f, -0.1f, 0f, 0f)),
+      (4L, Seq(0.9f, 0f, 0.1f, 0f)),
+      (1L, Seq(0f, 0f, 1f, 0.1f)), (3L, Seq(0f, 0.1f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0.9f, -0.1f)))
+    val df = Similarity.withNormalized(
+      pts.toDF("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), col("ne"))
+    val c1 = Similarity.trainKmeans(df, 2, 2, 4)
+    val c2 = Similarity.trainKmeans(df, 2, 2, 4)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq)) // bit-identical across runs
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12) // unit-normalized
+    }
+    // init = vectors of the 2 smallest vec_ids (0 → x-cluster, 1 → z-cluster);
+    // after 2 iterations each centroid stays in its cluster's halfspace
+    assert(c1(0)(0) > 0.8 && c1(1)(2) > 0.8)
+  }
+
+  test("topCells ranks by rounded dot desc with index tie-break") {
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = Seq(Seq(1.0, 0.0)).toDF("ne")
+      .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+      .select(Similarity.topCells(col("dots"), 3).as("cells"))
+    // cents 0 and 2 tie at dot=1 → index order; cent 1 (dot=0) last
+    assert(df.head.getSeq[Int](0) === Seq(0, 2, 1))
+  }
+
   test("planeComponent matches the SQL md5 definition") {
     // md5("0,0") = d9d1...; engine-portable bit-0 must be stable
     val all = for (p <- 0 until 8; i <- 0 until 64) yield Similarity.planeComponent(p, i)
