@@ -34,16 +34,30 @@ object SimilarityQueries extends QueryPack {
   private val IvfAssignN = 2  // corpus multi-assignment (top-2 cells)
   private val IvfProbes = 12  // query probes (top-12 cells)
 
-  /** (vec_id, ne [, bucket]) — normalized corpus, optional LSH bucket. */
-  private def prepped(s: SparkSession, d: String, planes: Int = 0): DataFrame = {
-    val base = Similarity.withNormalized(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .repartition(s.sparkContext.defaultParallelism),
-      "embedding")
-    val withB = if (planes > 0) base.withColumn("bucket",
-      Similarity.lshBucket(col("embedding"), planes, Dims)) else base
-    withB.drop("embedding")
-  }
+  /** (vec_id, ne [, bucket]) — normalized corpus, optional LSH bucket.
+    *
+    * Memoized AND CACHED per (dir, planes): the cache is a
+    * MATERIALIZATION BARRIER, not just a speedup. Without it,
+    * CollapseProject inlines the `ne` normalization (itself a
+    * higher-order expression) into every lambda that consumes it —
+    * measured 80 s for the IVF cell assignment at sf0.1 (the norm fold
+    * re-evaluated per centroid × per element, ~800k interpreted ops per
+    * row) vs < 1 s against the materialized column. Joins/exchanges act
+    * as barriers implicitly (q38's crossJoin is why brute force never
+    * hit this); single-stage projection pipelines like the index
+    * builders need one explicitly. */
+  private val prepCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  private def prepped(s: SparkSession, d: String, planes: Int = 0): DataFrame =
+    prepCache.getOrElseUpdate((d, planes), {
+      val base = Similarity.withNormalized(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .repartition(s.sparkContext.defaultParallelism),
+        "embedding")
+      val withB = if (planes > 0) base.withColumn("bucket",
+        Similarity.lshBucket(col("embedding"), planes, Dims)) else base
+      withB.drop("embedding").cache()
+    })
 
   /** Trained IVF centroids, memoized per data dir — training is
     * deterministic, so q50/q57/q59 (and repeated bench runs) share one

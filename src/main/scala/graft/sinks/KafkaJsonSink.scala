@@ -20,12 +20,30 @@ object KafkaJsonSink {
       keyExpr: Option[Column] = None): DataFrame =
     Cleanse.jsonValue(df, exclude, keyExpr)
 
+  /** Exact option map [[writeKafka]] hands the kafka connector —
+    * factored out so the wire contract is spec-testable without a
+    * broker (KafkaContractSpec). */
+  def kafkaWriteOptions(topic: String, bootstrap: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic)
+
+  /** The kafka wire shape of a payload frame: binary key/value plus the
+    * destination topic — exactly the columns the connector serializes.
+    * A file-backed contract test can persist this frame and feed it to
+    * [[graft.sources.KafkaJsonSource.parse]], exercising the full
+    * produce→consume path minus only the broker socket. */
+  def wireFrame(payload: DataFrame, topic: String): DataFrame = {
+    val key =
+      if (payload.columns.contains("key")) col("key").cast("binary")
+      else lit(null).cast("binary")
+    payload.select(key.as("key"), col("value").cast("binary").as("value"),
+      lit(topic).as("topic"))
+  }
+
   /** Write payload rows to a Kafka topic. Requires the kafka connector
     * on the classpath (cluster deploy); tests use [[writeFiles]]. */
   def writeKafka(payload: DataFrame, topic: String, bootstrap: String): Unit =
     payload.write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
+      .options(kafkaWriteOptions(topic, bootstrap))
       .save()
 
   /** File-based stand-in with the same payload (test/local target). */

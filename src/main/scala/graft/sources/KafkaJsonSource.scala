@@ -15,12 +15,18 @@ import org.apache.spark.sql.types.StructType
   */
 object KafkaJsonSource {
 
+  /** Exact option map [[stream]] hands the kafka connector — factored
+    * out so the subscription contract is spec-testable without a broker
+    * (KafkaContractSpec). */
+  def kafkaReadOptions(bootstrap: String, topics: Seq[String]): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topics.mkString(","))
+
   /** Streaming subscription over one or more topics, JSON-decoded. */
   def stream(spark: SparkSession, bootstrap: String, topics: Seq[String],
       schema: StructType): DataFrame =
     parse(spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics.mkString(","))
+      .options(kafkaReadOptions(bootstrap, topics))
       .load(), schema)
 
   /** Kafka's wire columns → typed rows: value JSON decoded with the
