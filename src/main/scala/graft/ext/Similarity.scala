@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product in double precision, sequential left fold. */
+  /** Dot product in double precision, sequential left fold — the native
+    * codegen'd [[graft.functions.VecDot]] kernel. Bit-identical to the
+    * built-in composition `aggregate(zip_with(a, b, x*y), 0.0, +)` it
+    * replaced (same accumulation order), but a primitive loop instead
+    * of an interpreted higher-order chain — this is the innermost loop
+    * of every similarity operator. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VecDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

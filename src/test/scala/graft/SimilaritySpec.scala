@@ -13,6 +13,41 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   // do NOT stop it here or concurrently-running suites lose their session
   override def afterAll(): Unit = ()
 
+  test("VecDot is bit-identical to the aggregate(zip_with) composition it replaced") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("f", "d")
+    val composed = df.select(
+      aggregate(zip_with(col("f"), col("d"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("c"),
+      aggregate(zip_with(col("f"), col("f"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("cf"))
+    val native = df.select(
+      Similarity.dot(col("f"), col("d")).as("c"),
+      Similarity.dot(col("f"), col("f")).as("cf"))
+    // bitwise equality, not tolerance: same sequential fold order
+    val a = composed.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val b = native.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("vec_dot registered in SQL and survives codegen over many rows") {
+    spark.sql("SELECT 1").collect() // force session init
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head
+    assert(r.getDouble(0) === 11.0)
+    val n = spark.range(10000)
+      .select(Similarity.dot(
+        array(col("id").cast("double"), lit(1.0)),
+        array(lit(2.0), col("id").cast("double"))).as("d"))
+      .filter(col("d") === col("d")).count()
+    assert(n === 10000L)
+  }
+
   test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f), 0.0),
