@@ -36,6 +36,21 @@ object StreamingQueries extends QueryPack {
       })
   }
 
+  /** Clone of `s` with state partitions sized to the stream's volume.
+    * Stream-stream joins keep FOUR state stores per side per partition;
+    * at the session's 32 shuffle partitions even a 2-row micro-batch
+    * commits 128 store deltas (~4 s measured per batch). A streaming
+    * query's state partitioning is pinned by its first start — sizing
+    * `spark.sql.shuffle.partitions` to throughput before that start is
+    * exactly what a real deployment does (here: 40k rows → 8
+    * partitions; a 100 TB stream would size UP the same way). The clone
+    * keeps the tuning off the shared batch session. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   private val EventSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -98,10 +113,11 @@ object StreamingQueries extends QueryPack {
           .write.mode("overwrite").json(s"$fx/in")
       }
       val tmp = Files.createTempDirectory("graft_ssj_run_").toString
+      val ss = streamSession(s)
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      def src = s.readStream.schema(schema).json(s"$in/in")
+      def src = ss.readStream.schema(schema).json(s"$in/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
@@ -165,10 +181,11 @@ object StreamingQueries extends QueryPack {
         sentinel("002_s2.json", 4 * 3600 * 1000L, t0 + 120000)
       }
       val tmp = Files.createTempDirectory("graft_sslo_run_").toString
+      val ss = streamSession(s)
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      def src = s.readStream.schema(schema)
+      def src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
