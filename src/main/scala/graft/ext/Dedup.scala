@@ -56,11 +56,15 @@ object Dedup {
     transform(shingles, s => Hashing.md5Long(s) % MinhashP)
 
   /** Signature from a MATERIALIZED base-hash array column: element j =
-    * min over shingles of the j-th linear permutation. */
+    * min over shingles of the j-th linear permutation. One-pass native
+    * kernel ([[graft.functions.MinhashSig]]) — bit-identical to the
+    * k-transforms-plus-array_min composition it replaced, without the k
+    * interpreted re-scans (spec-asserted in DedupSpec). */
   def minhashSignature(baseHashCol: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(baseHashCol,
-        b => (lit(minhashA(j)) * b + lit(minhashB(j))) % MinhashP))): _*)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinhashSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(baseHashCol),
+        (0 until k).map(minhashA), (0 until k).map(minhashB), MinhashP))
 
   /** LSH band hashes: signature split into `bands` rows-per-band groups,
     * each group hashed to one bucket key. Docs sharing any band bucket
@@ -89,12 +93,14 @@ object Dedup {
 
   /** 32-bit SimHash from a MATERIALIZED token-hash array column: bit b
     * is set iff tokens whose hash has bit b outnumber those that don't
-    * (sign of the ±1 weight sum, expressed as 2·|set| − n > 0). */
+    * (sign of the ±1 weight sum, expressed as 2·|set| − n > 0).
+    * One-pass native kernel ([[graft.functions.SimhashBits]]) — bit-
+    * identical to the 32-filter composition it replaced, without the 32
+    * interpreted re-scans (spec-asserted in DedupSpec). */
   def simhashFromHashes(th: Column, bits: Int = 32): Column =
-    (0 until bits).map { b =>
-      val setCnt = size(filter(th, h => shiftright(h, b) % 2 === 1))
-      when(setCnt * 2 - size(th) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SimhashBits(
+        org.apache.spark.sql.GraftColumnBridge.expression(th), bits))
 
   /** Convenience one-shot SimHash (tests / small data). */
   def simhash(text: Column, bits: Int = 32): Column =

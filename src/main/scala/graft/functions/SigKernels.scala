@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** One-pass signature kernels (SURVEY §2.10 ladder (b)) for the dedup
+  * operators' per-row hot loops. The built-in compositions they replace
+  * are CORRECT but evaluate as interpreted higher-order chains that
+  * re-scan the hash array once per output component:
+  *  - SimHash: 32 × `size(filter(th, bit b set))` = 32 passes;
+  *  - MinHash: k × `array_min(transform(bh, CW permutation j))` = k
+  *    passes, each allocating an intermediate array.
+  * The kernels compute all components in one primitive scan with
+  * IDENTICAL arithmetic (same long multiply/add/mod, same comparison
+  * order), so results are bit-for-bit unchanged and the DuckDB oracles
+  * are untouched. Dense arrays assumed (token/shingle hashes are never
+  * null). Separate object so Janino calls the static forwarders. */
+object SigKernels {
+
+  /** SimHash: bit b set iff hashes with bit b set outnumber the rest
+    * (2·cnt − n > 0 — same tie rule as the composition). */
+  def simhash(th: ArrayData, bits: Int): Long = {
+    val n = th.numElements()
+    var result = 0L
+    var b = 0
+    while (b < bits) {
+      var cnt = 0
+      var i = 0
+      while (i < n) {
+        if (((th.getLong(i) >> b) & 1L) == 1L) cnt += 1
+        i += 1
+      }
+      if (2 * cnt - n > 0) result |= (1L << b)
+      b += 1
+    }
+    result
+  }
+
+  /** MinHash signature over Carter–Wegman permutations of MATERIALIZED
+    * base hashes: out(j) = min_i (A_j·bh_i + B_j) mod p. Arithmetic is
+    * the same JVM long multiply/add/mod the Catalyst composition
+    * performs (operands < 2³¹, no overflow). */
+  def minhashSig(bh: ArrayData, as: Array[Long], bs: Array[Long],
+      p: Long): ArrayData = {
+    val n = bh.numElements()
+    val k = as.length
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = as(j); val b = bs(j)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * bh.getLong(i) + b) % p
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd SimHash over a token-hash array column. */
+case class SimhashBits(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+}
+
+/** Codegen'd MinHash signature over a base-hash array column. The
+  * permutation coefficients are plan-time constants, shared with the
+  * generated code through a codegen reference (not re-parsed per row).
+  * Returns null for a null input array; callers filter empties upstream
+  * (an empty array would otherwise yield MaxValue sentinels where the
+  * composition yields nulls). */
+case class MinhashSig(child: Expression, as: Seq[Long], bs: Seq[Long],
+    p: Long) extends UnaryExpression {
+  require(as.length == bs.length, "coefficient arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.minhashSig(input.asInstanceOf[ArrayData], asArr, bsArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.minhashSig($c, $asRef, $bsRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}

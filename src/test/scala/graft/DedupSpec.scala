@@ -44,6 +44,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hs(1) > 3)
   }
 
+  test("native MinhashSig/SimhashBits are bit-identical to the HOF compositions") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(100)(Seq.fill(rnd.nextInt(60) + 1)(
+      math.abs(rnd.nextLong()) % Dedup.MinhashP))
+    val df = rows.toDF("bh")
+    val k = 16
+    // the compositions the kernels replaced, inlined verbatim
+    val composedSig = array((0 until k).map(j =>
+      array_min(transform(col("bh"),
+        b => (lit(Dedup.minhashA(j)) * b + lit(Dedup.minhashB(j))) % Dedup.MinhashP))): _*)
+    val composedSim = (0 until 32).map { b =>
+      val setCnt = size(filter(col("bh"), h => shiftright(h, b) % 2 === 1))
+      when(setCnt * 2 - size(col("bh")) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val a = df.select(composedSig.as("sig"), composedSim.as("sim")).collect()
+      .map(r => (r.getSeq[Long](0), r.getLong(1)))
+    val b = df.select(Dedup.minhashSignature(col("bh"), k).as("sig"),
+        Dedup.simhashFromHashes(col("bh")).as("sim")).collect()
+      .map(r => (r.getSeq[Long](0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("pairsFromBuckets: maxBucket guard drops a deliberately hot bucket") {
     // bucket 1 is hot (5 ids), bucket 2 is healthy (2 ids)
     val rows = Seq((1, 10L), (1, 11L), (1, 12L), (1, 13L), (1, 14L),
