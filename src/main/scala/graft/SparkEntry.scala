@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, CleanseQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamingQueries, TextQueries, XmlQueries}
+import graft.queries.{AdvancedQueries, CleanseQueries, CoreQueries, CurationQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamingQueries, TextQueries, XmlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     XmlQueries,
     StreamingQueries,
     MultimodalQueries,
-    AdvancedQueries
+    AdvancedQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -144,6 +144,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup edge list — the
+    * dedup ENDGAME: pair lists become clusters, and each cluster keeps
+    * one canonical representative (its minimum id, which is also the
+    * component label — a deterministic fixpoint independent of
+    * iteration order, so an external oracle reproduces it via
+    * transitive closure).
+    *
+    * Algorithm: neighbour-min label propagation. Each iteration is one
+    * equi-join + min-aggregate (both map-side-combinable), repeated
+    * until no label changes — O(component diameter) iterations, and
+    * near-dup graphs are clique-like (diameter ≲ 3). The driver-side
+    * loop with a per-iteration convergence action is the standard shape
+    * for iterative graph algorithms (GraphX/Pregel does the same); at
+    * larger diameters the alternating star variants drop the bound to
+    * O(log n) with the same per-iteration plan. Returns (id, comp). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().cache()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("comp") > coalesce(col("nbr"), col("comp")))
+            .cast("long").as("chg"))
+        .cache()
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      labels.unpersist()
+      labels = next.select(col("id"), col("comp"))
+      i += 1
+    }
+    labels
+  }
+
   /** Full MinHash-LSH near-dup pair pipeline: shingle → signature → band
     * → bucket self-join → exact-Jaccard verify. Returns (a_id, b_id,
     * jacc) for pairs with Jaccard ≥ `threshold`.

@@ -66,6 +66,21 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ---- Near-dup CLUSTERING: MinHash-LSH pairs → connected
+    //      components → cluster sizes + canonical (min-id)
+    //      representative. The component label is a deterministic
+    //      fixpoint, so the DuckDB oracle reproduces it with a
+    //      recursive transitive closure. This is the dedup endgame a
+    //      curation pipeline runs: keep one doc per cluster. ----
+    "q60_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+      Dedup.connectedComponents(pairs.select(col("a_id"), col("b_id")))
+        .groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster"))
+    }),
+
     // ---- Shingle-Jaccard near-dups, candidates via shared winnowing
     //      fingerprints (equi-join — no all-pairs scan) ----
     "q37_ngram_jaccard" -> ((s, d) => {
@@ -92,9 +107,9 @@ object DedupQueries extends QueryPack {
   private def h(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
-  /** Shared CTE: doc_id + distinct 3-token shingles. */
-  private val ShinglesCte =
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shared CTE: doc_id + distinct 3-token shingles over `src`. */
+  private def ShinglesCte(src: String = "documents"): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |sh AS (SELECT doc_id, list_distinct(
        |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
        |    i -> array_to_string(tk[i:i+2], ' '))
@@ -110,6 +125,38 @@ object DedupQueries extends QueryPack {
   private def hsCte: String =
     s"hsx AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h("s")})) AS hs FROM sh)"
 
+  /** Shared CTE chain: `src` → shingles → MinHash signatures → LSH
+    * bands → guarded candidates → Jaccard-verified pairs, ending in
+    * `np` (a_id, b_id, jacc ≥ 0.8). Used by q35 (pair listing), q60
+    * (clustering over the same pairs), and q61 (curation funnel over
+    * the post-filter survivor set). */
+  private[queries] def minhashPairsCtes(src: String = "documents"): String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until K).map(j =>
+      s"list_min(list_transform(bh, b -> (${Dedup.minhashA(j)} * b + ${Dedup.minhashB(j)}) % $p))")
+      .mkString(",\n    ")
+    val bandVals = (0 until Bands).map(b => s"($b)").mkString(", ")
+    s"""${ShinglesCte(src)},
+       |$hsCte,
+       |bhx AS (SELECT doc_id, hs, list_transform(hs, x -> x % $p) AS bh
+       |  FROM hsx WHERE len(hs) > 0),
+       |sig AS (SELECT doc_id, [
+       |    $sigExprs] AS sig
+       |  FROM bhx),
+       |bands AS (SELECT doc_id, bb.b,
+       |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
+       |  FROM sig, (VALUES $bandVals) AS bb(b)),
+       |bc AS (SELECT b, bh FROM bands GROUP BY b, bh
+       |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bc JOIN bands a ON a.b = bc.b AND a.bh = bc.bh
+       |    JOIN bands b ON b.b = bc.b AND b.bh = bc.bh
+       |    AND a.doc_id < b.doc_id),
+       |j AS (SELECT a_id, b_id, $JaccSql AS jacc
+       |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id),
+       |np AS (SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.8)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "q34_exact_dedup" ->
       s"""SELECT lang, count(*) AS n,
@@ -117,33 +164,23 @@ object DedupQueries extends QueryPack {
          |  count(DISTINCT ${h("array_to_string(list_sort(string_split(text, ' ')), ' ')")}) AS n_bow
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q35_minhash_lsh" -> {
-      val p = Dedup.MinhashP
-      val sigExprs = (0 until K).map(j =>
-        s"list_min(list_transform(bh, b -> (${Dedup.minhashA(j)} * b + ${Dedup.minhashB(j)}) % $p))")
-        .mkString(",\n    ")
-      val bandVals = (0 until Bands).map(b => s"($b)").mkString(", ")
-      s"""WITH $ShinglesCte,
-         |$hsCte,
-         |bhx AS (SELECT doc_id, hs, list_transform(hs, x -> x % $p) AS bh
-         |  FROM hsx WHERE len(hs) > 0),
-         |sig AS (SELECT doc_id, [
-         |    $sigExprs] AS sig
-         |  FROM bhx),
-         |bands AS (SELECT doc_id, bb.b,
-         |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
-         |  FROM sig, (VALUES $bandVals) AS bb(b)),
-         |bc AS (SELECT b, bh FROM bands GROUP BY b, bh
-         |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bc JOIN bands a ON a.b = bc.b AND a.bh = bc.bh
-         |    JOIN bands b ON b.b = bc.b AND b.bh = bc.bh
-         |    AND a.doc_id < b.doc_id),
-         |j AS (SELECT a_id, b_id, $JaccSql AS jacc
-         |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
-         |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
-         |WHERE jacc >= 0.8 ORDER BY a_id, b_id""".stripMargin
-    },
+    "q35_minhash_lsh" ->
+      s"""WITH ${minhashPairsCtes()}
+         |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM np
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q60_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         |verts AS (SELECT a_id AS id FROM np UNION SELECT b_id FROM np),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM np
+         |  UNION SELECT b_id, a_id FROM np),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+         |compx AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS cluster, count(*) AS n_docs FROM compx
+         |GROUP BY comp ORDER BY cluster""".stripMargin,
 
     "q36_simhash" -> {
       val bitExprs = (0 until 32).map(b =>

@@ -61,9 +61,30 @@ object TextQueries extends QueryPack {
   )
 
   /** DuckDB-side stopword-hit count for `lang` (shared SQL fragment). */
-  private def hitsSql(lang: String): String = {
+  private[queries] def hitsSql(lang: String): String = {
     val list = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), x -> list_contains([$list], x)))"
+  }
+
+  /** DuckDB mirror of [[TextAnalysis.qualityScore]] (rounded 4dp on both
+    * sides so threshold comparisons agree bit-for-bit). */
+  private[queries] def qualitySql: String =
+    s"""round(least(len(string_split(text, ' ')) / 80.0, 1.0) * 0.4
+       |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+       |        / greatest(length(text), 1)) * 0.3
+       |    + least((${hitsSql("en")}
+       |        / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3, 4)""".stripMargin
+
+  /** DuckDB mirror of [[TextAnalysis.langId]]'s preference-ordered
+    * argmax, as (scoreColumns, caseExpression-over-s_&lt;lang&gt;). */
+  private[queries] def predictedSql: (String, String) = {
+    val langs = TextAnalysis.LangOrder
+    val scoreCols = langs.map(l => s"  ${hitsSql(l)} AS s_$l").mkString(",\n")
+    val caseArms = langs.init.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"  WHEN $conds THEN '$l'"
+    }.mkString("\n")
+    (scoreCols, s"CASE\n$caseArms\n  ELSE '${langs.last}' END")
   }
 
   override def oracles: Map[String, String] = Map(
@@ -75,33 +96,20 @@ object TextQueries extends QueryPack {
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
-    "q31_quality_score" -> {
-      s"""WITH t AS (SELECT lang,
-         |  round(least(len(string_split(text, ' ')) / 80.0, 1.0) * 0.4
-         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-         |        / greatest(length(text), 1)) * 0.3
-         |    + least((${hitsSql("en")}
-         |        / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3, 4) AS q
+    "q31_quality_score" ->
+      s"""WITH t AS (SELECT lang, $qualitySql AS q
          |  FROM documents)
          |SELECT lang, round(avg(q), 4) AS avg_quality,
          |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
          |  count(*) AS n
-         |FROM t GROUP BY lang ORDER BY lang""".stripMargin
-    },
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q32_lang_id" -> {
-      val langs = TextAnalysis.LangOrder
-      val scoreCols = langs.map(l => s"  ${hitsSql(l)} AS s_$l").mkString(",\n")
-      val caseArms = langs.init.map { l =>
-        val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"  WHEN $conds THEN '$l'"
-      }.mkString("\n")
+      val (scoreCols, caseExpr) = predictedSql
       s"""WITH t AS (SELECT lang,
          |$scoreCols
          |  FROM documents),
-         |p AS (SELECT lang, CASE
-         |$caseArms
-         |  ELSE '${langs.last}' END AS predicted FROM t)
+         |p AS (SELECT lang, $caseExpr AS predicted FROM t)
          |SELECT lang, predicted, count(*) AS n
          |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
     },

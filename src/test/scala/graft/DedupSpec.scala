@@ -80,6 +80,18 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unguarded.count() === 11)
   }
 
+  test("connectedComponents: chain, triangle and pair converge to min-id labels") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty edge list → empty labelling, no infinite loop
+    assert(Dedup.connectedComponents(edges.limit(0)).count() === 0L)
+  }
+
   test("bagOfWordsKey is order-insensitive, contentKey is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
       (Dedup.bagOfWordsKey(col("x")) === Dedup.bagOfWordsKey(col("y"))).as("bowEq"),
