@@ -198,11 +198,17 @@ object Dedup {
     // spread the per-row hashing/signature work across all cores — a
     // small input file would otherwise pin the whole scan to one task
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // cached: the shingle-hash arrays feed the signature lineage AND both
+    // verify joins (3 references) — without materialization every branch
+    // re-runs one md5 per shingle per doc. A cluster-scale pipeline
+    // materializes signatures to storage before the join phase for the
+    // same reason; cache is the in-session analogue.
     val sh = docs.repartition(par)
       .withColumn("shs", distinctShingles(col(textCol), shingleN))
       .withColumn("hs", array_distinct(
         transform(col("shs"), s => Hashing.md5Long(s))))
       .select(col(idCol).as("id"), col("hs"))
+      .cache()
     val sig = sh.filter(size(col("hs")) > 0)
       .withColumn("bh", transform(col("hs"), x => x % MinhashP))
       .select(col("id"), minhashSignature(col("bh"), k).as("sig"))

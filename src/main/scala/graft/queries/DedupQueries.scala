@@ -84,9 +84,12 @@ object DedupQueries extends QueryPack {
     // ---- Shingle-Jaccard near-dups, candidates via shared winnowing
     //      fingerprints (equi-join — no all-pairs scan) ----
     "q37_ngram_jaccard" -> ((s, d) => {
+      // cached: the shingle-hash frame feeds the distinct-hash branch and
+      // the fingerprint branch — uncached, each re-runs the md5 scan
       val hsh = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
+        .cache()
       val sh = hsh.select(col("doc_id"), array_distinct(col("h")).as("hs"))
       val fps = hsh.select(col("doc_id"),
         explode(TextAnalysis.fingerprintsFromHashes(col("h"), 4)).as("fp"))
