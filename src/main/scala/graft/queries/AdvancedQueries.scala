@@ -25,6 +25,22 @@ object AdvancedQueries extends QueryPack {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- Bucketed co-located fact-fact join: both sides pre-bucketed
+    //      and pre-sorted on the join key (BucketedTables), merge-hinted
+    //      as at real scale where neither side broadcasts — the join
+    //      runs with NO exchange and NO sort (PlanPostureSpec asserts
+    //      it). The write-time shuffle is paid once and amortized over
+    //      every subsequent orderkey join. ----
+    "q63_bucketed_join" -> ((s, d) => {
+      val (oT, lT) = graft.sinks.BucketedTables.ensure(s, d)
+      s.table(oT).hint("merge")
+        .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- As-of join: latest purchase value at or before each click.
     //      Spark lacks a native as-of join; the scalable composition is
     //      union + partitioned last(ignoreNulls) window — one shuffle on
@@ -170,6 +186,12 @@ object AdvancedQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q63_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q17_cube_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(avg(l_extendedprice), 4) AS avg_price,

@@ -40,6 +40,19 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q63: bucketed co-located join runs with no exchange on the join key") {
+    val p = plan("q63_bucketed_join")
+    assert(p.contains("SelectedBucketsCount"), "scan is not bucket-aware")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      "join shuffled a pre-bucketed side")
+    // Sort nodes remain by design: Spark 3+ reads bucket sortBy order
+    // only behind the default-off legacy flag
+    // spark.sql.legacy.bucketedTableScan.outputOrdering, and the
+    // re-sort of already-sorted buckets is a linear in-partition pass.
+    // The property bucketing buys unconditionally is the absent shuffle.
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
