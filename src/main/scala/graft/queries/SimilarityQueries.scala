@@ -235,6 +235,40 @@ object SimilarityQueries extends QueryPack {
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall_q8"))
     }),
 
+    // ---- The deployed configuration: IVF pruning over INT8-compressed
+    //      inverted lists (candidates from the index, scored on the
+    //      quantized vectors) — ~4.4× compute pruning × 4× memory
+    //      compression, with the COMBINED recall measured against the
+    //      float exact baseline. ----
+    "q64_ivf_int8_recall" -> ((s, d) => {
+      val q8x = prepped(s, d)
+        .withColumn("scale", aggregate(col("ne"), lit(0.0),
+          (m, x) => greatest(m, abs(x))))
+        .withColumn("q8", transform(col("ne"),
+          x => round(x * 127.0 / col("scale"))))
+        .select(col("vec_id"), col("scale"), col("q8"))
+      val qz = q8x.select(col("vec_id").as("q_id"), col("q8").as("qq8"),
+        col("scale").as("qscale"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cosq"), 6).desc, col("vec_id"))
+      val top = ivfCandidates(s, d).select(col("q_id"), col("vec_id"))
+        .join(broadcast(qz), "q_id")
+        .join(q8x, "vec_id")
+        .withColumn("cosq", Similarity.dot(col("qq8"), col("q8"))
+          * col("qscale") * col("scale") / (127.0 * 127.0))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      queries("q38_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+        .join(top, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 4)
+            .as("recall_ivf_q8"))
+    }),
+
     // ---- ANN cost evaluation: candidate counts vs brute force — the
     //      measured pruning factor that, with q57's recall, makes the
     //      quality/cost tradeoff of both indexes a number, not a hope. ----
@@ -421,8 +455,30 @@ object SimilarityQueries extends QueryPack {
          |  FROM bf LEFT JOIN r ON bf.q_id = r.q_id AND bf.vec_id = r.vec_id)
          |SELECT count(*) AS n_true, CAST(sum(h) AS BIGINT) AS n_hit,
          |  round(sum(h)::DOUBLE / count(*), 4) AS recall_q8 FROM j""".stripMargin
+    val q64 =
+      s"""WITH ${preppedCte(0)},
+         |${ivfCandCte("icand")},
+         |sc AS (SELECT vec_id, ne,
+         |    list_reduce(list_transform(ne, x -> abs(x)), (a, b) -> greatest(a, b)) AS scale
+         |  FROM e),
+         |q8x AS (SELECT vec_id, scale,
+         |    list_transform(ne, x -> round(x * 127.0 / scale)) AS q8 FROM sc),
+         |p AS (SELECT c.q_id, c.vec_id,
+         |    ${dotSql("qz.q8", "cz.q8")} * qz.scale * cz.scale / (127.0 * 127.0) AS cosq
+         |  FROM icand c JOIN q8x qz ON c.q_id = qz.vec_id
+         |    JOIN q8x cz ON c.vec_id = cz.vec_id),
+         |r AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY round(cosq, 6) DESC, vec_id) AS rn
+         |  FROM p) t WHERE rn <= 3),
+         |bf AS (${base("q38_cosine_topk")}),
+         |j AS (SELECT bf.q_id, bf.vec_id,
+         |    CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h
+         |  FROM bf LEFT JOIN r ON bf.q_id = r.q_id AND bf.vec_id = r.vec_id)
+         |SELECT count(*) AS n_true, CAST(sum(h) AS BIGINT) AS n_hit,
+         |  round(sum(h)::DOUBLE / count(*), 4) AS recall_ivf_q8 FROM j""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
-      ("q62_int8_recall" -> q62)
+      ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64)
   }
 
   private def baseOracles: Map[String, String] = Map(
