@@ -83,7 +83,7 @@ object StreamingQueries extends QueryPack {
         StructField("ts", TimestampType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val q = s.readStream.schema(schema).json(s"$in/in")
+      val q = streamSession(s).readStream.schema(schema).json(s"$in/in")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.outputMode("append")
@@ -221,7 +221,8 @@ object StreamingQueries extends QueryPack {
         Tables.events(s, d).write.mode("overwrite").json(s"$fx/in")
       }
       val tmp = Files.createTempDirectory("graft_stream_run_").toString
-      val stream = s.readStream.schema(EventSchema).json(s"$in/in")
+      val ss = streamSession(s)
+      val stream = ss.readStream.schema(EventSchema).json(s"$in/in")
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -234,7 +235,9 @@ object StreamingQueries extends QueryPack {
         .option("checkpointLocation", s"$tmp/chk")
         .start()
       q.awaitTermination()
-      s.table(mem).orderBy(col("hour"), col("event_type"))
+      // the memory-sink table registers in the session that STARTED the
+      // query — read it from the same clone
+      ss.table(mem).orderBy(col("hour"), col("event_type"))
     })
   )
 

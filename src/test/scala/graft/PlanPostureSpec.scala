@@ -53,6 +53,12 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The property bucketing buys unconditionally is the absent shuffle.
   }
 
+  test("q62: quantized brute force broadcasts the query set like the float baseline") {
+    val p = plan("q62_int8_recall")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
