@@ -26,7 +26,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
+    // the result lines in the merged stream — the driver keeps only a
+    // fixed-size tail of stdout, and round-3's total was truncated out by
+    // post-line logs. The compact total-only line goes first (it can
+    // never be cut by the big per-query line growing), then the full
+    // contract line with the per-query map.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -91,7 +91,9 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(TextAnalysis.tokens(text), t => Hashing.md5Long(t))
 
-  /** 32-bit SimHash from a MATERIALIZED token-hash array column: bit b
+  /** SimHash (default 32-bit; pass bits=64 for the full-width signature
+    * the production banding uses) from a MATERIALIZED token-hash array
+    * column: bit b
     * is set iff tokens whose hash has bit b outnumber those that don't
     * (sign of the ±1 weight sum, expressed as 2·|set| − n > 0).
     * One-pass native kernel ([[graft.functions.SimhashBits]]) — bit-
@@ -108,10 +110,20 @@ object Dedup {
 
   /** SimHash chunk keys for candidate banding: `nChunks` groups of
     * `chunkBits` bits; docs agreeing on any chunk are candidates (a pair
-    * within Hamming distance d < nChunks must share ≥1 chunk). */
+    * within Hamming distance d < nChunks must share ≥1 chunk).
+    *
+    * Selectivity at scale: the bucket keyspace is `nChunks · 2^chunkBits`
+    * — a CONSTANT. With 8-bit chunks that is 1,024 buckets total, so
+    * candidates grow O(n²/1024) with corpus size; 16-bit chunks give
+    * 262,144 buckets and keep per-bucket occupancy (hence pair volume)
+    * tractable ~256× longer. Pair 16-bit chunks with a 64-bit SimHash.
+    *
+    * Sign-safe for full-width signatures: unsigned shift + bit mask
+    * (an arithmetic shift of a negative 64-bit simhash followed by `%`
+    * would yield negative chunk keys). */
   def simhashChunks(sh: Column, chunkBits: Int, nChunks: Int): Column =
     array((0 until nChunks).map(c =>
-      shiftright(sh, c * chunkBits) % (1L << chunkBits)): _*)
+      shiftrightunsigned(sh, c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))): _*)
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

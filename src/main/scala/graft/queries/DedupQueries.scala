@@ -20,8 +20,18 @@ object DedupQueries extends QueryPack {
 
   private val K = 16      // minhash signature length
   private val Bands = 4   // LSH bands (4 rows per band)
-  private val ChunkBits = 8
-  private val NChunks = 4 // simhash banding: hamming ≤ 3 ⇒ shared chunk
+  // SimHash banding: 60-bit signature split into 4×15-bit chunks —
+  // hamming ≤ 3 ⇒ the pair shares ≥1 chunk (pigeonhole), and the bucket
+  // keyspace is 4·2^15 = 131,072, wide enough that per-bucket occupancy
+  // stays selective as the corpus grows (8-bit chunks gave a 1,024-bucket
+  // keyspace → O(n²/1024) candidate growth — a measured scale-killer at
+  // sf0.1 already). 60 bits, not 64: token hashes are md5Long = 60-bit
+  // (the portable-BIGINT ceiling), so signature bits 60–63 would be
+  // identically zero — a nominal 64/16 split would leave the top chunk
+  // with 12 bits of real entropy, 8× worse than four full 15-bit chunks.
+  private val SimBits = 60
+  private val ChunkBits = 15
+  private val NChunks = 4
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -53,7 +63,7 @@ object DedupQueries extends QueryPack {
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("th", Dedup.tokenHashes(col("text")))
-        .select(col("doc_id"), Dedup.simhashFromHashes(col("th")).as("sim"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("th"), SimBits).as("sim"))
       val chunks = docs.select(
         struct(col("doc_id"), col("sim")).as("ds"),
         posexplode(Dedup.simhashChunks(col("sim"), ChunkBits, NChunks))
@@ -186,14 +196,14 @@ object DedupQueries extends QueryPack {
          |GROUP BY comp ORDER BY cluster""".stripMargin,
 
     "q36_simhash" -> {
-      val bitExprs = (0 until 32).map(b =>
+      val bitExprs = (0 until SimBits).map(b =>
         s"(CASE WHEN len(list_filter(h, x -> (x >> $b) % 2 = 1)) * 2 - len(h) > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
         .mkString("\n    + ")
       val chunkVals = (0 until NChunks).map(c => s"($c)").mkString(", ")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |th AS (SELECT doc_id, list_transform(tk, t -> ${h("t")}) AS h FROM d),
          |sim AS (SELECT doc_id, $bitExprs AS sim FROM th),
-         |chunks AS (SELECT doc_id, sim, cc.c, (sim >> (cc.c * $ChunkBits)) % ${1 << ChunkBits} AS ck
+         |chunks AS (SELECT doc_id, sim, cc.c, (sim >> (cc.c * $ChunkBits)) & ${(1 << ChunkBits) - 1} AS ck
          |  FROM sim, (VALUES $chunkVals) AS cc(c)),
          |bc AS (SELECT c, ck FROM chunks GROUP BY c, ck
          |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),

@@ -92,6 +92,48 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.connectedComponents(edges.limit(0)).count() === 0L)
   }
 
+  test("simhash banding: 15-bit chunks shrink candidates vs 8-bit, same verified pairs") {
+    // 1,500 distinct random-token docs + 10 planted near-dup clones.
+    // With 8-bit chunks the keyspace is 4×256 buckets → heavy random
+    // co-bucketing; 15-bit chunks spread the same corpus ~128× thinner.
+    // The verified (hamming ≤ 3) pair set must be IDENTICAL — banding
+    // only generates candidates, never decides pairs.
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(5000)(i => s"w$i")
+    val baseDocs = (0 until 1500).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val clones = (0 until 10).map { j =>
+      (10000L + j, baseDocs(j * 7)._2) // exact dup (hamming 0) of id j*7
+    }
+    val docs = (baseDocs ++ clones).toDF("doc_id", "text")
+      .withColumn("th", Dedup.tokenHashes(col("text")))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("th"), 60).as("sim"))
+      .cache()
+    def run(chunkBits: Int): (Long, Set[(Long, Long)]) = {
+      val chunks = docs.select(
+        struct(col("doc_id"), col("sim")).as("ds"),
+        posexplode(Dedup.simhashChunks(col("sim"), chunkBits, 4))
+          .as(Seq("c", "ck")))
+      val cand = Dedup.pairsFromBuckets(chunks, Seq("c", "ck"), "ds").cache()
+      val verified = cand
+        .withColumn("ham", Dedup.hamming(col("a_id.sim"), col("b_id.sim")))
+        .filter(col("ham") <= 3)
+        .select(col("a_id.doc_id"), col("b_id.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = cand.count()
+      cand.unpersist()
+      (n, verified)
+    }
+    val (cand8, pairs8) = run(8)
+    val (cand15, pairs15) = run(15)
+    docs.unpersist()
+    assert(pairs15 === pairs8, "banding width must not change verified pairs")
+    assert(pairs15.size >= 10, "planted clones must be recovered")
+    assert(cand15 * 20 < cand8,
+      s"15-bit banding should cut candidates ≥20× (got $cand8 → $cand15)")
+  }
+
   test("bagOfWordsKey is order-insensitive, contentKey is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
       (Dedup.bagOfWordsKey(col("x")) === Dedup.bagOfWordsKey(col("y"))).as("bowEq"),
