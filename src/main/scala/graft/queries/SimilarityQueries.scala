@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries extends QueryPack {
 
   private val Dims = 64       // embeddings.embedding is 64-dim (FIXTURES.md §6)
+  // Evaluation query budget: the recall/cost queries sample a FIXED
+  // number of query vectors (~TargetQueries) by deriving the id modulus
+  // from the corpus count — so the exact brute-force baseline they
+  // compare against costs O(n · TargetQueries) at ANY corpus size. A
+  // proportional set (the old fixed `% 50`) made the eval itself
+  // O(n²/50): correct at sf0.1, quadratic at 100×. At sf0.1 (n = 5,000)
+  // the derived modulus IS 50, so measured recalls are comparable across
+  // rounds. The modulus (not a top-N) keeps the set deterministic and
+  // cheap to mirror in SQL.
+  private val TargetQueries = 100
   private val AnnPlanes = 4   // planes per LSH table → 16 buckets/table
   private val AnnTables = 2   // table t uses global planes t*AnnPlanes+j
   private val PairPlanes = 4  // 16 buckets for pair mining (q40)
@@ -68,6 +78,18 @@ object SimilarityQueries extends QueryPack {
     centCache.getOrElseUpdate(d, Similarity.trainKmeans(
       prepped(s, d).filter(col("vec_id") % 2 === 0), IvfK, IvfIters, Dims))
 
+  /** Query-set modulus: corpus_count / TargetQueries (≥1), memoized per
+    * dir (a pure count — parquet metadata, no scan). Spark filter and
+    * DuckDB oracle ([[qModSql]]) derive the same number. */
+  private val modCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def queryModulus(s: SparkSession, d: String): Long =
+    modCache.getOrElseUpdate(d,
+      math.max(1L, Tables.embeddings(s, d).count() / TargetQueries))
+
+  /** Marks the ~TargetQueries evaluation query vectors. */
+  private def isQuery(s: SparkSession, d: String): Column =
+    col("vec_id") % queryModulus(s, d) === 0
+
   /** Plane index with the smallest rounded |projection| — the least
     * confident bit, flipped for the second probe (multi-probe LSH). */
   private def flipIdx(pj: Column): Column =
@@ -92,7 +114,7 @@ object SimilarityQueries extends QueryPack {
       explode(array((0 until AnnTables).map(t =>
         struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("ne"), col("tb.t"), col("tb.bucket"))
-    var q = e.filter(col("vec_id") % 50 === 0)
+    var q = e.filter(isQuery(s, d))
     for (t <- 0 until AnnTables)
       q = q.withColumn(s"f$t", flipIdx(col(s"pj$t")))
     val flipMask = typedLit(Seq.tabulate(AnnPlanes)(1 << _))
@@ -121,7 +143,7 @@ object SimilarityQueries extends QueryPack {
       .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
       .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
       .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
-    val probes = e.filter(col("vec_id") % 50 === 0)
+    val probes = e.filter(isQuery(s, d))
       .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
       .withColumn("cells", Similarity.topCells(col("dots"), IvfProbes))
       .select(col("vec_id").as("q_id"), col("ne").as("qe"),
@@ -150,7 +172,7 @@ object SimilarityQueries extends QueryPack {
     // ---- Exact baseline: brute-force cosine top-3 per query vector ----
     "q38_cosine_topk" -> ((s, d) => {
       val e = prepped(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(isQuery(s, d))
         .select(col("vec_id").as("q_id"), col("ne").as("qe"))
       Similarity.bruteForceTopK(e, q, 3)
         .orderBy(col("q_id"), col("rn"))
@@ -214,7 +236,7 @@ object SimilarityQueries extends QueryPack {
           (m, x) => greatest(m, abs(x))))
         .withColumn("q8", transform(col("ne"),
           x => round(x * 127.0 / col("scale"))))
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(isQuery(s, d))
         .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
           col("scale").as("qscale"))
       val w = Window.partitionBy(col("q_id"))
@@ -275,7 +297,7 @@ object SimilarityQueries extends QueryPack {
     "q59_ann_candidates" -> ((s, d) => {
       val e = prepped(s, d)
       val stats = e.agg(count(lit(1)).as("n"),
-        sum(when(col("vec_id") % 50 === 0, 1).otherwise(0)).as("nq"))
+        sum(when(isQuery(s, d), 1).otherwise(0)).as("nq"))
       val lc = lshCandidates(s, d).agg(count(lit(1)).as("n_lsh"))
       val ic = ivfCandidates(s, d).agg(count(lit(1)).as("n_ivf"))
       stats.crossJoin(lc).crossJoin(ic)
@@ -287,6 +309,12 @@ object SimilarityQueries extends QueryPack {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** SQL mirror of [[queryModulus]]: corpus_count / TargetQueries, ≥1
+    * (DuckDB `//` is integer division, same as JVM Long division for
+    * non-negative operands). */
+  private def qModSql: String =
+    s"(SELECT greatest(1, count(*) // $TargetQueries) FROM embeddings)"
 
   /** Sequential-fold dot product (matches Spark's aggregate with 0.0
     * init: 0.0 + x1 == x1 exactly, so list_reduce's x1-init agrees). */
@@ -344,7 +372,7 @@ object SimilarityQueries extends QueryPack {
        |  FROM bx, (VALUES (0), (1)) tt(t)),
        |qf AS (SELECT vec_id AS q_id, ne AS qe, b0, b1,
        |    ${fSql("pj0")} AS f0, ${fSql("pj1")} AS f1
-       |  FROM bx WHERE vec_id % 50 = 0),
+       |  FROM bx WHERE vec_id % $qModSql = 0),
        |prb AS (SELECT q_id, qe, 0 AS t, b0 AS bucket FROM qf
        |  UNION ALL SELECT q_id, qe, 0, xor(b0, 1 << f0) FROM qf
        |  UNION ALL SELECT q_id, qe, 1, b1 FROM qf
@@ -387,7 +415,7 @@ object SimilarityQueries extends QueryPack {
        |  SELECT e.vec_id AS q_id, e.ne AS qe, cc.c AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${dotSql("e.ne", "cc.ce")}, 6) DESC, cc.c) AS rn
-       |  FROM e, c$IvfIters cc WHERE e.vec_id % 50 = 0) t WHERE rn <= $IvfProbes),
+       |  FROM e, c$IvfIters cc WHERE e.vec_id % $qModSql = 0) t WHERE rn <= $IvfProbes),
        |$endName AS (SELECT DISTINCT p.q_id, p.qe, i.vec_id, i.ne
        |  FROM iprb p JOIN iidx i ON p.cell = i.cell
        |  WHERE i.vec_id != p.q_id)""".stripMargin
@@ -425,7 +453,7 @@ object SimilarityQueries extends QueryPack {
          |${lshCandCte("lcand")},
          |${ivfCandCte("icand")},
          |st AS (SELECT count(*) AS n,
-         |    sum(CASE WHEN vec_id % 50 = 0 THEN 1 ELSE 0 END) AS nq FROM e),
+         |    sum(CASE WHEN vec_id % $qModSql = 0 THEN 1 ELSE 0 END) AS nq FROM e),
          |lc AS (SELECT count(*) AS n_lsh FROM lcand),
          |ic AS (SELECT count(*) AS n_ivf FROM icand)
          |SELECT CAST(st.nq * (st.n - 1) AS BIGINT) AS n_bf,
@@ -441,7 +469,7 @@ object SimilarityQueries extends QueryPack {
          |q8x AS (SELECT vec_id, scale,
          |    list_transform(ne, x -> round(x * 127.0 / scale)) AS q8 FROM sc),
          |qs AS (SELECT vec_id AS q_id, q8 AS qq8, scale AS qscale
-         |  FROM q8x WHERE vec_id % 50 = 0),
+         |  FROM q8x WHERE vec_id % $qModSql = 0),
          |p AS (SELECT q_id, vec_id,
          |    ${dotSql("qq8", "q8")} * qscale * scale / (127.0 * 127.0) AS cosq
          |  FROM qs, q8x WHERE vec_id != q_id),
@@ -484,7 +512,7 @@ object SimilarityQueries extends QueryPack {
   private def baseOracles: Map[String, String] = Map(
     "q38_cosine_topk" ->
       s"""WITH ${preppedCte(0)},
-         |q AS (SELECT vec_id AS q_id, ne AS qe FROM e WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS q_id, ne AS qe FROM e WHERE vec_id % $qModSql = 0),
          |p AS (SELECT q_id, vec_id, ${dotSql("qe", "ne")} AS c
          |  FROM q, e WHERE vec_id != q_id),
          |r AS (SELECT q_id, vec_id, c, row_number() OVER (
