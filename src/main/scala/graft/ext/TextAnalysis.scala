@@ -95,18 +95,21 @@ object TextAnalysis {
     * column (minima of sliding windows of `w` consecutive shingle
     * hashes, deduplicated — Schleimer et al., SIGMOD'03).
     *
+    * One-pass native kernel ([[graft.functions.WinnowFingerprints]]) —
+    * bit-identical (spec-asserted in TextAnalysisSpec) to the
+    * `array_distinct(transform(sequence, i -> array_min(slice(h,i,w))))`
+    * composition it replaced, which re-sliced the hash array per window
+    * position as an interpreted higher-order chain.
+    *
     * `h` MUST be a column reference, not a nested expression: Catalyst
     * inlines expressions into every lambda reference, so passing
     * `shingleHashes(...)` directly would recompute the whole hash array
     * once per window (O(n²) md5 calls per row — measured 50× slower).
     * Project the hashes with `withColumn` first. */
   def fingerprintsFromHashes(h: Column, w: Int = 4): Column =
-    array_distinct(
-      when(size(h) >= w,
-        transform(sequence(lit(1), size(h) - (w - 1)),
-          i => array_min(slice(h, i, lit(w)))))
-        .otherwise(when(size(h) > 0, array(array_min(h)))
-          .otherwise(array().cast("array<bigint>"))))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(h), w))
 
   /** Convenience one-shot fingerprint (tests / small data). For hot
     * paths, materialize [[shingleHashes]] and use

@@ -38,6 +38,34 @@ object SigKernels {
     result
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): minima of
+    * sliding windows of `w` consecutive hashes, deduplicated in first-
+    * occurrence order — exactly `array_distinct(transform(sequence(...),
+    * i -> array_min(slice(h, i, w))))` with the short-doc fallbacks, in
+    * ONE primitive pass instead of an interpreted slice+min per window. */
+  def winnowFingerprints(h: ArrayData, w: Int): ArrayData = {
+    val n = h.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n < w) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = h.getLong(i); if (v < mn) mn = v; i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](n - w + 1)
+    var k = 0
+    var i = 0
+    while (i <= n - w) {
+      var mn = h.getLong(i)
+      var j = i + 1
+      while (j < i + w) { val v = h.getLong(j); if (v < mn) mn = v; j += 1 }
+      if (seen.add(mn)) { out(k) = mn; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
   /** MinHash signature over Carter–Wegman permutations of MATERIALIZED
     * base hashes: out(j) = min_i (A_j·bh_i + B_j) mod p. Arithmetic is
     * the same JVM long multiply/add/mod the Catalyst composition
@@ -77,6 +105,26 @@ case class SimhashBits(child: Expression, bits: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.simhash($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+}
+
+/** Codegen'd winnowing fingerprints over a shingle-hash array column.
+  * Returns null for a null input array (upstream text is never null);
+  * the composition it replaces yields an empty array there — callers
+  * explode the result, where null and empty behave identically. */
+case class WinnowFingerprints(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.winnowFingerprints(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.winnowFingerprints($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

@@ -50,6 +50,26 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("native WinnowFingerprints is bit-identical to the HOF composition") {
+    val rnd = new scala.util.Random(13)
+    // lengths straddle every branch: empty, < w, == w, long with repeats
+    val rows = Seq(Seq.empty[Long], Seq(5L), Seq(3L, 1L, 2L)) ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong() % 50))
+    val w = 4
+    val df = rows.toDF("h")
+    // the composition the kernel replaced, inlined verbatim
+    val composed = array_distinct(
+      when(size(col("h")) >= w,
+        transform(sequence(lit(1), size(col("h")) - (w - 1)),
+          i => array_min(slice(col("h"), i, lit(w)))))
+        .otherwise(when(size(col("h")) > 0, array(array_min(col("h"))))
+          .otherwise(array().cast("array<bigint>"))))
+    val a = df.select(composed.as("fp")).collect().map(_.getSeq[Long](0))
+    val b = df.select(TextAnalysis.fingerprintsFromHashes(col("h"), w).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("fingerprints: deterministic, dedup'd, robust to short docs") {
     val txt = "a b c d e f g h i j k l m n"
     val df = Seq(txt, txt, "a b", "").toDF("t")
