@@ -171,12 +171,32 @@ object Dedup {
     * for iterative graph algorithms (GraphX/Pregel does the same); at
     * larger diameters the alternating star variants drop the bound to
     * O(log n) with the same per-iteration plan. Returns (id, comp). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15,
+      algorithm: String = "minlabel"): DataFrame = algorithm match {
+    case "star" => connectedComponentsStar(edges, maxIter)._1
+    case "minlabel" => minLabelComponents(edges, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown connected-components algorithm '$other' (minlabel|star)")
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def minLabelComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct().cache()
+    // localCheckpoint (eager), not cache: it materializes AND truncates
+    // lineage, which an iterative loop needs twice over — (a) the old
+    // per-iteration caches were never actually freed (labels was a
+    // projection whose plan matches no cache entry, so unpersist was a
+    // silent no-op and caches accumulated), and (b) each round's plan
+    // references the previous round's twice, so uncheckpointed lineage
+    // doubles per iteration. Blocks are dropped by the ContextCleaner
+    // when the previous round's frame goes unreferenced. On a real
+    // cluster, reliable checkpoint() to durable storage is the
+    // fault-tolerant variant of the same move.
     var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -188,13 +208,77 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
           (col("comp") > coalesce(col("nbr"), col("comp")))
             .cast("long").as("chg"))
-        .cache()
+        .localCheckpoint()
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
-      labels.unpersist()
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    if (changed > 0)
+      log.warn(s"connectedComponents(minlabel) exited at maxIter=$maxIter " +
+        s"with $changed labels still changing — labels are NOT converged " +
+        "(component diameter exceeds the iteration budget; use " +
+        "algorithm=\"star\" for big-diameter graphs)")
+    adj.unpersist()
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the big-diameter path: each round pulls every node's neighbourhood
+    * toward its minimum, roughly halving component diameter, so a path
+    * of length n converges in ~log₂(n) rounds where min-label
+    * propagation needs n. Same labelling contract as `minlabel`
+    * (comp = component-minimum id). Returns (labels, roundsUsed);
+    * per-round cost is two groupBy+join passes over the edge list. */
+  def connectedComponentsStar(edges: DataFrame,
+      maxIter: Int = 15): (DataFrame, Int) = {
+    // canonical directed form: u > v, deduplicated. localCheckpoint per
+    // round — see minLabelComponents — or the round-over-round plan
+    // doubles and analysis alone goes exponential on long paths.
+    var e = edges.select(col("a_id").as("x"), col("b_id").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint()
+    var n = e.count()
+    var converged = n == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: every node x attaches its LARGER neighbours to
+      // m = min(Γ(x) ∪ {x})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star: every node x links its ≤-neighbours (and itself) to
+      // m = min(Γ≤(x) ∪ {x})
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(ssMin.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val m = ss.count()
+      // fixed point ⇔ edge set unchanged (both sides canonical+distinct)
+      converged = m == n && ss.union(e).distinct().count() == n
+      e = ss
+      n = m
+      i += 1
+    }
+    if (!converged)
+      log.warn(s"connectedComponentsStar exited at maxIter=$maxIter " +
+        "without reaching the star fixed point — labels may span " +
+        "unmerged sub-components")
+    // at the fixed point components are stars around their minimum:
+    // every node's label is min(self, min neighbour)
+    val sym = e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("u").as("comp")))
+    val labels = sym.groupBy(col("id")).agg(min(col("comp")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+    (labels, i)
   }
 
   /** Full MinHash-LSH near-dup pair pipeline: shingle → signature → band

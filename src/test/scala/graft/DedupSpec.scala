@@ -134,6 +134,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"15-bit banding should cut candidates ≥20× (got $cand8 → $cand15)")
   }
 
+  test("star CC: long path converges in ≤ log2(n)+2 rounds, labels match minlabel") {
+    // 64-node path (diameter 63): min-label propagation needs 63 rounds;
+    // the alternating star algorithm must finish in ≤ log2(64)+2 = 8.
+    val n = 64
+    val path = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (starLabels, rounds) = Dedup.connectedComponentsStar(path)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === (1L to n).map(_ -> 1L).toMap)
+    assert(rounds <= (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2,
+      s"star CC took $rounds rounds on a $n-node path")
+    // mixed shapes: same labelling as minlabel (chain + triangle + pair)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a_id", "b_id")
+    val a = Dedup.connectedComponents(edges, algorithm = "star").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // empty edge list → empty labelling, no infinite loop
+    assert(Dedup.connectedComponents(path.limit(0), algorithm = "star").count() === 0L)
+  }
+
   test("bagOfWordsKey is order-insensitive, contentKey is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
       (Dedup.bagOfWordsKey(col("x")) === Dedup.bagOfWordsKey(col("y"))).as("bowEq"),
