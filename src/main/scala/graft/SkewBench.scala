@@ -3,7 +3,7 @@ package graft
 import graft.ext.Skew
 import org.apache.spark.sql.functions._
 
-/** Skew measurement harness: a synthetic hot key (50% of lineitem rows
+/** Skew measurement harness: a synthetic hot key (~90% of lineitem rows
   * on one key, the rest spread over 999) driving the engine's two skew
   * tools — [[Skew.saltedSumCount]] for aggregations and AQE skew-join
   * splitting for joins — against their unmitigated baselines. Prints

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -52,26 +53,40 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // nullable even over non-null children: mismatched-length arrays
+  // yield null, matching the composition (zip_with pads the shorter
+  // side with null, which nulls the whole fold)
+  override def nullable: Boolean = true
 
-  private def elem(e: Expression): DataType = e.dataType match {
-    case ArrayType(t, _) => t
-    case t => t // non-array: fails at kernel selection below
-  }
+  /** Bad argument types fail at ANALYSIS (e.g. decimal array literals
+    * via the SQL `vec_dot`), not at codegen/eval. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == DoubleType || t == FloatType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires array<float|double> on both sides, " +
+          s"got ${l.catalogString} / ${r.catalogString}")
+    }
 
-  /** Kernel picked at plan time from the child element types. */
+  private def elem(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Kernel picked at plan time from the child element types
+    * (exhaustive — checkInputDataTypes admits only float/double). */
   private lazy val kernel: String = (elem(left), elem(right)) match {
     case (DoubleType, DoubleType) => "dotDD"
     case (FloatType, FloatType)   => "dotFF"
     case (DoubleType, FloatType)  => "dotDF"
-    case (FloatType, DoubleType)  => "dotFD"
-    case (l, r) => throw new IllegalArgumentException(
-      s"vec_dot requires array<float|double> inputs, got $l / $r")
+    case _                        => "dotFD"
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    kernel match {
+    if (x.numElements() != y.numElements()) null
+    else kernel match {
       case "dotDD" => VecDotKernel.dotDD(x, y)
       case "dotFF" => VecDotKernel.dotFF(x, y)
       case "dotDF" => VecDotKernel.dotDF(x, y)
@@ -80,8 +95,12 @@ case class VecDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecDotKernel.$kernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() == $b.numElements()) {
+        ${ev.value} = graft.functions.VecDotKernel.$kernel($a, $b);
+      } else {
+        ${ev.isNull} = true;
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

@@ -56,10 +56,13 @@ object SimilarityQueries extends QueryPack {
     * as barriers implicitly (q38's crossJoin is why brute force never
     * hit this); single-stage projection pipelines like the index
     * builders need one explicitly. */
-  private val prepCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  // keyed on the SESSION too: a cached DataFrame is bound to the
+  // session that built it — a stopped/recreated SparkSession in the
+  // same JVM must get a fresh frame, not a stale handle
+  private val prepCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
   private def prepped(s: SparkSession, d: String, planes: Int = 0): DataFrame =
-    prepCache.getOrElseUpdate((d, planes), {
+    prepCache.getOrElseUpdate((s, d, planes), {
       val base = Similarity.withNormalized(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
           .repartition(s.sparkContext.defaultParallelism),

@@ -25,7 +25,8 @@ object StreamingQueries extends QueryPack {
     * best-of-2, q57-style composition) reuse it and the timed region
     * measures the STREAMING QUERY, not fixture I/O. Checkpoint/output
     * dirs stay fresh per invocation — reusing a checkpoint would make
-    * the second run a no-op. */
+    * the second run a no-op. (Unlike the DataFrame/catalog memos, this
+    * cache holds only on-disk paths — safe across session restarts.) */
   private object Fixtures {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
     def dir(kind: String, d: String)(build: String => Unit): String =

@@ -22,8 +22,15 @@ object BucketedTables {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** Ensure bucketed copies of (orders, lineitem) for `d`; returns the
-    * catalog table names. */
-  def ensure(s: SparkSession, d: String): (String, String) =
+    * catalog table names. Memoized names are VALIDATED against the
+    * caller's catalog before reuse — a recreated SparkSession in the
+    * same JVM has a fresh SharedState, so a remembered name may no
+    * longer exist there. */
+  def ensure(s: SparkSession, d: String): (String, String) = {
+    cache.get(d).foreach { case (o, l) =>
+      if (!s.catalog.tableExists(o) || !s.catalog.tableExists(l))
+        cache.remove(d)
+    }
     cache.getOrElseUpdate(d, {
       val tag = (d.hashCode.toLong & 0xffffffffL).toString
       val oT = s"graft_orders_b$tag"
@@ -49,4 +56,5 @@ object BucketedTables {
         .format("parquet").saveAsTable(lT)
       (oT, lT)
     })
+  }
 }

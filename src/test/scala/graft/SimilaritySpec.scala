@@ -48,6 +48,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 10000L)
   }
 
+  test("VecDot edge semantics: length mismatch → null (like the composition); bad types fail analysis") {
+    // mismatched lengths: zip_with pads with null, nulling the fold —
+    // the kernel must agree (null, not a truncated partial dot)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("c"))
+    val native = df.select(Similarity.dot(col("a"), col("b")).as("c"))
+    assert(composed.head.isNullAt(0) && native.head.isNullAt(0))
+    // wrong element type (decimal literals in SQL) → analysis-time error
+    spark.sql("SELECT 1").collect() // force session init
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(ex.getMessage.contains("vec_dot"))
+  }
+
   test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f), 0.0),
