@@ -77,4 +77,37 @@ class FlowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === Flows.FlowReport(0, 0L, ok = true, remaining = 0))
     assert(!Files.exists(Paths.get(root, "out", "data")))
   }
+
+  test("index store: all four reference topics route to their index dirs " +
+      "with kafka_topic + content doc_id (logstash.conf:13-46)") {
+    import graft.sinks.{IndexStore, TopicRouter}
+    import spark.implicits._
+    val root = Files.createTempDirectory("idx_").toString
+    val batch = Seq(
+      ("xmlt_fast", """{"k":"a"}"""), ("xmlt_fast", """{"k":"b"}"""),
+      ("xmlt", """{"k":"c"}"""), ("csv", """{"k":"d"}"""),
+      ("xmlhard", """{"k":"e"}"""), ("other", """{"k":"z"}"""))
+      .toDF("topic", "value")
+    var fellBack = 0L
+    TopicRouter.route(batch, "topic", IndexStore.sinks(root),
+      fallback = Some(df => fellBack = df.count()))
+    val expected = Map("filesxmlonly" -> 2L, "filesgziphere" -> 1L,
+      "filescsv" -> 1L, "xmlhardware" -> 1L)
+    expected.foreach { case (index, n) =>
+      val df = IndexStore.index(spark, root, index)
+      assert(df.count() === n, index)
+      // decoration: topic metadata survives, doc_id is the content md5
+      val row = df.select("kafka_topic", "doc_id", "value").head
+      assert(IndexStore.ReferenceRouting(row.getString(0)) === index)
+      assert(row.getString(1) ===
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(row.getString(2)))
+    }
+    assert(fellBack === 1L) // the unrouted topic went to the fallback
+    // replay the same batch: append lands a second copy with IDENTICAL
+    // doc_ids — the at-least-once contract stays dedupable downstream
+    TopicRouter.route(batch, "topic", IndexStore.sinks(root))
+    val replayed = IndexStore.index(spark, root, "filesxmlonly")
+    assert(replayed.count() === 4L)
+    assert(replayed.select("doc_id").distinct().count() === 2L)
+  }
 }
