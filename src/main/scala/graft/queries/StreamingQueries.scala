@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import graft.streaming.StateMetrics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -52,6 +53,13 @@ object StreamingQueries extends QueryPack {
     ss
   }
 
+  /** State-store metrics of each streaming query's most recent drain,
+    * recorded after awaitTermination — the observability surface a
+    * production runner would export (see [[StateMetrics]]). Specs
+    * regression-guard state sizing and watermark-bounded growth here. */
+  val lastStateMetrics = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[StateMetrics.StoreMetrics]]
+
   private val EventSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -95,6 +103,7 @@ object StreamingQueries extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastStateMetrics("q48_stream_dedup") = StateMetrics.collect(q)
       s.read.parquet(s"$tmp/out")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -138,6 +147,7 @@ object StreamingQueries extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastStateMetrics("q55_stream_stream_join") = StateMetrics.collect(q)
       s.read.parquet(s"$tmp/out")
         .groupBy((col("p_user") % 10).as("cohort"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -208,6 +218,7 @@ object StreamingQueries extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastStateMetrics("q58_stream_left_outer") = StateMetrics.collect(q)
       s.read.parquet(s"$tmp/out")
         .filter(col("p_user") >= 0)
         .groupBy((col("p_user") % 10).as("cohort"))
@@ -236,6 +247,7 @@ object StreamingQueries extends QueryPack {
         .option("checkpointLocation", s"$tmp/chk")
         .start()
       q.awaitTermination()
+      lastStateMetrics("q42_stream_tumbling") = StateMetrics.collect(q)
       // the memory-sink table registers in the session that STARTED the
       // query — read it from the same clone
       ss.table(mem).orderBy(col("hour"), col("event_type"))

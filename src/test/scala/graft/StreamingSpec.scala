@@ -192,4 +192,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums.get("2025-01-01 10:00:00.0").contains(1.0))
     assert(sums.values.forall(_ < 10.0))
   }
+
+  test("state-store metrics: join/dedup state is sized, fed, and watermark-bounded") {
+    import graft.queries.StreamingQueries
+    val d = "/root/testdata/sf0.001"
+    val streamed = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase")).count()
+
+    // q55 inner interval join: every arriving row states exactly once,
+    // on the 8 partitions streamSession sizes for the stream's volume
+    StreamingQueries.queries("q55_stream_stream_join")(spark, d).collect()
+    val Seq(j55) = StreamingQueries.lastStateMetrics("q55_stream_stream_join")
+    assert(j55.rowsUpdatedTotal === streamed)
+    assert(j55.rowsDroppedByWatermark === 0L)
+    assert(j55.shufflePartitions === 8L)
+    assert(j55.memoryUsedBytes > 0L)
+
+    // q58 LEFT OUTER: the sentinel batches (2 files × 1 click + 1
+    // purchase) also enter state, then the advanced watermark EVICTS the
+    // drained data rows — final state must not accumulate the stream
+    StreamingQueries.queries("q58_stream_left_outer")(spark, d).collect()
+    val Seq(j58) = StreamingQueries.lastStateMetrics("q58_stream_left_outer")
+    assert(j58.rowsUpdatedTotal === streamed + 4)
+    assert(j58.rowsTotal < j58.rowsUpdatedTotal / 10,
+      s"outer-join state not evicted: ${j58.rowsTotal} rows remain")
+
+    // q48 dedup-within-watermark: the corpus lands twice but each key
+    // states once — state size is distinct keys, not arrivals
+    StreamingQueries.queries("q48_stream_dedup")(spark, d).collect()
+    val Seq(d48) = StreamingQueries.lastStateMetrics("q48_stream_dedup")
+    val distinctIds = Tables.events(spark, d).select("event_id").distinct().count()
+    assert(d48.rowsUpdatedTotal === distinctIds)
+    assert(d48.shufflePartitions === 8L)
+  }
 }
