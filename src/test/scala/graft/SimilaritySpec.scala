@@ -120,6 +120,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1(0)(0) > 0.8 && c1(1)(2) > 0.8)
   }
 
+  test("trainPq: deterministic per-subspace codebooks; codes hit the nearest centroid; ADC matches LUT sum") {
+    // two clusters per 2-dim subspace (4 dims, 2 subspaces)
+    val pts = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0f, 1f, 1f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+    val df = Similarity.withNormalized(
+      pts.toDF("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), col("ne"))
+    val cb1 = Similarity.trainPq(df, 2, 2, 2, 4)
+    val cb2 = Similarity.trainPq(df, 2, 2, 2, 4)
+    assert(cb1.map(_.map(_.toSeq)) === cb2.map(_.map(_.toSeq))) // bit-identical
+    assert(cb1.size === 2 && cb1.forall(_.size === 2) &&
+      cb1.forall(_.forall(_.length === 2)))
+    val coded = df
+      .withColumn("codes", Similarity.pqCodes(col("ne"), cb1, 4))
+      .withColumn("luts", Similarity.pqLuts(col("ne"), cb1, 4))
+      .withColumn("adc", Similarity.adcScore(col("codes"), col("luts"), 2))
+      .collect()
+    coded.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.length === 2 && codes.forall(c => c >= 0 && c < 2))
+      // self-ADC = sum of dots against the vector's OWN assigned
+      // centroids — recompute driver-side from the codebooks
+      val ne = r.getSeq[Double](r.fieldIndex("ne"))
+      val expect = (0 until 2).map { m =>
+        val ce = cb1(m)(codes(m))
+        (0 until 2).map(j => ne(m * 2 + j) * ce(j)).sum
+      }.sum
+      assert(math.abs(r.getDouble(r.fieldIndex("adc")) - expect) < 1e-9)
+    }
+    // clustered inputs → same-cluster rows share codes, cross-cluster differ
+    val byId = coded.map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("codes"))).toMap
+    assert(byId(0L) === byId(2L) && byId(1L) === byId(3L))
+    assert(byId(0L) !== byId(1L))
+  }
+
   test("topCells ranks by rounded dot desc with index tie-break") {
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
     val df = Seq(Seq(1.0, 0.0)).toDF("ne")
