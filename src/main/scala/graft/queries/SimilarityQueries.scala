@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   * Index parameters are recall-tuned against the exact baseline
   * (BASELINE.md records the measurements): IVF (k=96 cells, 3 Lloyd
   * iterations on the vec_id%2 sample, 2-cell assignment, 12-cell probe)
-  * reaches recall 0.85-0.93 at ~4.4× candidate pruning — the deployable
-  * path. LSH (2 tables × 4 planes + 1 margin-flip probe per table)
-  * reaches ~0.43 at ~4.2× — kept as the cheaper, weaker alternative
-  * (documented, measured, and honest about it).
+  * reaches recall ~0.80 at ~4.4× candidate pruning. LSH (12 tables ×
+  * 8 planes, each probed at home + the 4 lowest-margin bit flips)
+  * reaches 0.65-0.72 at ~4.4× — lifted from 0.43 (r3's 2×4+1 config)
+  * by spending the same candidate budget on more independent tables at
+  * deeper buckets. PQ (q65) compresses to 96-bit codes and re-ranks an
+  * ADC shortlist — recall 0.92-0.96. Sizing rule at scale: buckets/
+  * table (2^AnnPlanes) and IVF cells are capacity knobs sized to
+  * corpus/target-bucket-size, like shuffle partitions — the layout
+  * (map-side encode, broadcast probes, bucket equi-join) is what's
+  * fixed, not the keyspace.
   */
 object SimilarityQueries extends QueryPack {
 
@@ -36,8 +42,9 @@ object SimilarityQueries extends QueryPack {
   // rounds. The modulus (not a top-N) keeps the set deterministic and
   // cheap to mirror in SQL.
   private val TargetQueries = 100
-  private val AnnPlanes = 4   // planes per LSH table → 16 buckets/table
-  private val AnnTables = 2   // table t uses global planes t*AnnPlanes+j
+  private val AnnPlanes = 8   // planes per LSH table → 256 buckets/table
+  private val AnnTables = 12  // table t uses global planes t*AnnPlanes+j
+  private val AnnFlips = 4    // extra probes/table: flip the 4 lowest-margin bits
   private val PairPlanes = 4  // 16 buckets for pair mining (q40)
   private val PqSubs = 16     // PQ subspaces (4 dims each)
   private val PqK = 64        // centroids per subquantizer → 6 bits × 16 = 96-bit code
@@ -105,11 +112,13 @@ object SimilarityQueries extends QueryPack {
   private def isQuery(s: SparkSession, d: String): Column =
     col("vec_id") % queryModulus(s, d) === 0
 
-  /** Plane index with the smallest rounded |projection| — the least
-    * confident bit, flipped for the second probe (multi-probe LSH). */
-  private def flipIdx(pj: Column): Column =
-    element_at(slice(array_sort(transform(pj, (p, i) =>
-      struct(round(abs(p), 6).as("ap"), i.as("j")))), 1, 1), 1).getField("j")
+  /** The `n` plane indices with the smallest rounded |projection| — the
+    * least confident bits, each flipped for one extra probe
+    * (multi-probe LSH; ties broken by plane index, same as the oracle's
+    * exclusion chain). */
+  private def flipIdxs(pj: Column, n: Int): Column =
+    transform(slice(array_sort(transform(pj, (p, i) =>
+      struct(round(abs(p), 6).as("ap"), i.as("j")))), 1, n), s => s.getField("j"))
 
   /** Distinct (q_id, qe, vec_id, ne) LSH candidates: `AnnTables` tables,
     * each probed at the home bucket plus the one-bit margin flip. All
@@ -131,14 +140,16 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("ne"), col("tb.t"), col("tb.bucket"))
     var q = e.filter(isQuery(s, d))
     for (t <- 0 until AnnTables)
-      q = q.withColumn(s"f$t", flipIdx(col(s"pj$t")))
+      q = q.withColumn(s"f$t", flipIdxs(col(s"pj$t"), AnnFlips))
     val flipMask = typedLit(Seq.tabulate(AnnPlanes)(1 << _))
     val probes = q.select(col("vec_id").as("q_id"), col("ne").as("qe"),
-      explode(array((0 until AnnTables).flatMap(t => Seq(
-        struct(lit(t).as("t"), col(s"b$t").as("bucket")),
-        struct(lit(t).as("t"),
-          col(s"b$t").bitwiseXOR(element_at(flipMask, col(s"f$t") + 1))
-            .as("bucket")))): _*)).as("tb"))
+      explode(array((0 until AnnTables).flatMap(t =>
+        struct(lit(t).as("t"), col(s"b$t").as("bucket")) +:
+          (1 to AnnFlips).map(k =>
+            struct(lit(t).as("t"),
+              col(s"b$t").bitwiseXOR(
+                element_at(flipMask, element_at(col(s"f$t"), k) + 1))
+                .as("bucket")))): _*)).as("tb"))
       .select(col("q_id"), col("qe"), col("tb.t"), col("tb.bucket"))
     idx.join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -416,10 +427,12 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** Multi-table multi-probe LSH candidate CTEs, ending in `endName`
-    * (q_id, qe, vec_id, ne). Mirrors [[lshCandidates]]: per-table
-    * projections, sign buckets, and the rounded-|margin| flip (DuckDB
-    * list_position picks the FIRST occurrence of the min — the same
-    * (abs, index) tie-break as the Spark array_sort). */
+    * (q_id, qe, vec_id, ne). Mirrors [[lshCandidates]] generically over
+    * (AnnTables, AnnPlanes, AnnFlips): per-table projections, sign
+    * buckets, and AnnFlips lowest-rounded-|margin| bit flips per table.
+    * The flip chain uses DuckDB lateral aliases: f_k = first position
+    * of the list min with positions f_0..f_{k-1} masked to 1e18 — the
+    * same (abs, index) total order as the Spark array_sort. */
   private def lshCandCte(endName: String): String = {
     def pjList(t: Int) = (0 until AnnPlanes)
       .map(j => projSql("ne", t * AnnPlanes + j))
@@ -427,22 +440,35 @@ object SimilarityQueries extends QueryPack {
     def bSql(pj: String) = (0 until AnnPlanes)
       .map(j => s"(CASE WHEN $pj[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString("(", " + ", ")")
-    def fSql(pj: String) =
-      s"list_position(list_transform($pj, x -> round(abs(x), 6)), " +
-        s"list_min(list_transform($pj, x -> round(abs(x), 6)))) - 1"
-    s"""px AS (SELECT vec_id, ne, ${pjList(0)} AS pj0, ${pjList(1)} AS pj1 FROM e),
-       |bx AS (SELECT vec_id, ne, pj0, pj1,
-       |    ${bSql("pj0")} AS b0, ${bSql("pj1")} AS b1 FROM px),
-       |lidx AS (SELECT vec_id, ne, tt.t,
-       |    CASE tt.t WHEN 0 THEN b0 ELSE b1 END AS bucket
-       |  FROM bx, (VALUES (0), (1)) tt(t)),
-       |qf AS (SELECT vec_id AS q_id, ne AS qe, b0, b1,
-       |    ${fSql("pj0")} AS f0, ${fSql("pj1")} AS f1
+    val ts = 0 until AnnTables
+    val pjCols = ts.map(t => s"${pjList(t)} AS pj$t").mkString(",\n    ")
+    val bCols = ts.map(t => s"${bSql(s"pj$t")} AS b$t").mkString(",\n    ")
+    val caseB = ts.map(t => s"WHEN $t THEN b$t")
+      .mkString("CASE tt.t ", " ", " END")
+    val flipCols = ts.flatMap { t =>
+      s"list_transform(pj$t, x -> round(abs(x), 6)) AS ap${t}_0" +:
+        (0 until AnnFlips).flatMap { k =>
+          val f = s"list_position(ap${t}_$k, list_min(ap${t}_$k)) - 1 AS f${t}_$k"
+          if (k == AnnFlips - 1) Seq(f)
+          else Seq(f, s"list_transform(generate_series(1, $AnnPlanes), " +
+            s"i -> CASE WHEN i - 1 = f${t}_$k THEN 1e18 ELSE ap${t}_$k[i] END) " +
+            s"AS ap${t}_${k + 1}")
+        }
+    }.mkString(",\n    ")
+    val prbSelects = ts.flatMap { t =>
+      s"SELECT q_id, qe, $t AS t, b$t AS bucket FROM qf" +:
+        (0 until AnnFlips).map(k =>
+          s"SELECT q_id, qe, $t, xor(b$t, 1 << f${t}_$k) FROM qf")
+    }.mkString("\n  UNION ALL ")
+    s"""px AS (SELECT vec_id, ne, $pjCols FROM e),
+       |bx AS (SELECT vec_id, ne, ${ts.map(t => s"pj$t").mkString(", ")},
+       |    $bCols FROM px),
+       |lidx AS (SELECT vec_id, ne, tt.t, $caseB AS bucket
+       |  FROM bx, (VALUES ${ts.map(t => s"($t)").mkString(", ")}) tt(t)),
+       |qf AS (SELECT vec_id AS q_id, ne AS qe, ${ts.map(t => s"b$t").mkString(", ")},
+       |    $flipCols
        |  FROM bx WHERE vec_id % $qModSql = 0),
-       |prb AS (SELECT q_id, qe, 0 AS t, b0 AS bucket FROM qf
-       |  UNION ALL SELECT q_id, qe, 0, xor(b0, 1 << f0) FROM qf
-       |  UNION ALL SELECT q_id, qe, 1, b1 FROM qf
-       |  UNION ALL SELECT q_id, qe, 1, xor(b1, 1 << f1) FROM qf),
+       |prb AS ($prbSelects),
        |$endName AS (SELECT DISTINCT p.q_id, p.qe, i.vec_id, i.ne
        |  FROM prb p JOIN lidx i ON p.t = i.t AND p.bucket = i.bucket
        |  WHERE i.vec_id != p.q_id)""".stripMargin
