@@ -1,12 +1,17 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Hashing, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The full training-data curation funnel as ONE composed pipeline —
+/** Training-data curation: the full funnel (q61), plus the two
+  * assignment ops every corpus build runs downstream of it —
+  * deterministic hash train/val/test split (q66) and per-domain quota
+  * sampling (q67).
+  *
+  * The full training-data curation funnel as ONE composed pipeline —
   * the end-to-end shape a 100 TB corpus actually runs, built entirely
   * from the engine's own operators: language-ID filter → quality-score
   * filter → exact dedup (canonical = min doc_id per content hash) →
@@ -24,6 +29,9 @@ object CurationQueries extends QueryPack {
   private val QualityMin = 0.55
   private val K = 16
   private val Bands = 4
+  private val SplitSeed = 13  // hash-family seed for the train/val/test split
+  private val QuotaSeed = 17  // independent seed for quota sampling
+  private val Quota = 20      // max docs kept per source domain
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_curation" -> ((s, d) => {
@@ -52,6 +60,44 @@ object CurationQueries extends QueryPack {
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(i).as("stage"), lit(name).as("name"), col("n_docs"))
       }.reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+
+    // ---- Deterministic train/val/test split: a document's split is a
+    //      pure function of its id (seeded 60-bit md5 mod 100 → 80/10/10)
+    //      — stable under reruns, re-shards and text edits, and
+    //      computable map-side at any scale; the only shuffle is the
+    //      3-row partial aggregate. The standard alternative (rand()
+    //      with a seed) is NOT stable across partitionings. ----
+    "q66_data_split" -> ((s, d) => {
+      val h = Hashing.md5Long(SplitSeed, col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // ---- Per-domain quota sampling: keep at most `Quota` docs per
+    //      source, chosen by seeded-hash rank (deterministic "random"
+    //      sample, doc_id tie-break) — the domain-mixing cap every
+    //      curation pipeline applies before training. One shuffle
+    //      (window per source); at 100 TB the parallelism unit is the
+    //      domain, which is exactly how quota jobs are sharded in
+    //      practice — a pathologically hot domain would be pre-thinned
+    //      with an approximate hash threshold before the exact rank,
+    //      at the cost of exactness this oracle-checked op keeps. ----
+    "q67_domain_quota" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h", Hashing.md5Long(QuotaSeed, col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(sum(when(col("rk") <= Quota, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") > Quota, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rk") <= Quota, col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -85,6 +131,27 @@ object CurationQueries extends QueryPack {
          |UNION ALL SELECT 3, 'exact_dedup', count(*) FROM ek
          |UNION ALL SELECT 4, 'near_dup_canonical', count(*) FROM nk
          |ORDER BY stage""".stripMargin
-    }
+    },
+
+    "q66_data_split" ->
+      s"""WITH hx AS (SELECT n_chars,
+         |    ('0x' || substr(md5('$SplitSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+         |  FROM documents),
+         |sx AS (SELECT CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
+         |    ELSE 'test' END AS split, n_chars FROM hx)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sx GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin,
+
+    "q67_domain_quota" ->
+      s"""WITH hx AS (SELECT source, doc_id, n_chars,
+         |    ('0x' || substr(md5('$QuotaSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM documents),
+         |rk AS (SELECT source, n_chars, row_number() OVER (
+         |    PARTITION BY source ORDER BY h, doc_id) AS rk FROM hx)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN rk <= $Quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rk > $Quota THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN rk <= $Quota THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM rk GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
