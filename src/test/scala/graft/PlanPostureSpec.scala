@@ -59,6 +59,28 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q65: ADC scan broadcasts the query LUTs; shortlist re-rank stays join-free") {
+    val p = plan("q65_pq_recall")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q66: split assignment is map-side — no join, no window, one aggregate exchange") {
+    val p = plan("q66_data_split")
+    assert(!p.contains("Join"), "split assignment must not join")
+    assert(!p.contains("Window"), "split assignment must not rank")
+  }
+
+  test("q67: quota sampling is one window over source — no join") {
+    val p = plan("q67_domain_quota")
+    assert(p.contains("Window"), "quota rank lost its window")
+    assert(!p.contains("Join"), "quota sampling must not join")
+    // exactly one shuffle for the window+agg (agg reuses the source
+    // partitioning)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "quota sampling should shuffle once on source")
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
