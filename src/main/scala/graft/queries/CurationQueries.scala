@@ -32,6 +32,7 @@ object CurationQueries extends QueryPack {
   private val SplitSeed = 13  // hash-family seed for the train/val/test split
   private val QuotaSeed = 17  // independent seed for quota sampling
   private val Quota = 20      // max docs kept per source domain
+  private val PackBudget = 256 // token budget per training sequence (q68)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_curation" -> ((s, d) => {
@@ -98,6 +99,36 @@ object CurationQueries extends QueryPack {
           sum(when(col("rk") > Quota, 1L).otherwise(0L)).as("n_dropped"),
           sum(when(col("rk") <= Quota, col("n_chars")).otherwise(0L)).as("kept_chars"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Token-budget sequence packing: greedy first-fit of docs
+    //      (ordered by doc_id) into PackBudget-token training sequences,
+    //      per source — the "how many context windows does this corpus
+    //      fill" accounting every pretraining run needs. Greedy packing
+    //      is inherently sequential, so the unit of parallelism is the
+    //      packing shard (source here; (source, shard) when a domain
+    //      outgrows one task — a pack never spans shards by design, so
+    //      sharding changes the answer only at shard boundaries). The
+    //      fold is integer-exact: acc = [completed_packs, fill]; a doc
+    //      that would overflow a non-empty pack closes it; an oversized
+    //      doc gets its own (overflowed) pack. ----
+    "q68_token_packing" -> ((s, d) => {
+      val packs = aggregate(
+        transform(col("ds"), x => x.getField("toks")),
+        array(lit(0L), lit(0L)),
+        (acc, t) => when(
+          element_at(acc, 2) + t > PackBudget && element_at(acc, 2) > 0,
+          array(element_at(acc, 1) + 1, t.cast("long")))
+          .otherwise(array(element_at(acc, 1), element_at(acc, 2) + t)))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("toks"))
+        .groupBy(col("source"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("toks")))).as("ds"),
+          count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (element_at(packs, 1) + 1).as("n_packs"))
+        .orderBy(col("source"))
     })
   )
 
@@ -152,6 +183,23 @@ object CurationQueries extends QueryPack {
          |  CAST(sum(CASE WHEN rk <= $Quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN rk > $Quota THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  CAST(sum(CASE WHEN rk <= $Quota THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
-         |FROM rk GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM rk GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    // list_reduce folds left with x1 as init, so the [0,0] accumulator
+    // is PREPENDED and every token becomes a [0, t] pair (uniform
+    // element type — DuckDB lambdas cannot mix list and scalar args).
+    "q68_token_packing" ->
+      s"""WITH tk AS (SELECT source, doc_id,
+         |    len(string_split(text, ' ')) AS toks FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |    list_reduce(
+         |      list_prepend([0::BIGINT, 0::BIGINT],
+         |        list( [0::BIGINT, toks::BIGINT] ORDER BY doc_id)),
+         |      (acc, x) -> CASE WHEN acc[2] + x[2] > $PackBudget AND acc[2] > 0
+         |        THEN [acc[1] + 1, x[2]] ELSE [acc[1], acc[2] + x[2]] END) AS st
+         |  FROM tk GROUP BY source)
+         |SELECT source, n_docs, n_tokens, st[1] + 1 AS n_packs
+         |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
