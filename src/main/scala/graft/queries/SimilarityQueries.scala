@@ -363,6 +363,59 @@ object SimilarityQueries extends QueryPack {
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall_pq"))
     }),
 
+    // ---- IVFPQ — the production ANN architecture at 100 TB: inverted
+    //      lists carry the 96-bit PQ codes (attached at INDEX time, so
+    //      candidate scoring needs no join back to the float corpus),
+    //      queries probe their top cells and score candidates by ADC
+    //      lookups, and only the top-PqRerank shortlist touches float
+    //      vectors for the exact re-rank. ~4.4× candidate pruning ×
+    //      ~21× list compression × O(16) per-candidate scoring, with
+    //      the end-to-end recall measured against the float exact
+    //      baseline. ----
+    "q69_ivfpq_recall" -> ((s, d) => {
+      val cb = pqCodebooks(s, d)
+      val cents = centroids(s, d)
+      val e = prepped(s, d)
+      val idx = e
+        .withColumn("codes", Similarity.pqCodes(col("ne"), cb, Dims))
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
+        .select(col("vec_id"), col("ne"), col("codes"),
+          explode(col("cells")).as("cell"))
+      val probes = e.filter(isQuery(s, d))
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .withColumn("cells", Similarity.topCells(col("dots"), IvfProbes))
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"),
+          Similarity.pqLuts(col("ne"), cb, Dims).as("luts"),
+          explode(col("cells")).as("cell"))
+      val wA = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("adc"), 6).desc, col("vec_id"))
+      val short = idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .dropDuplicates("q_id", "vec_id") // multi-assign/probe dups carry identical payloads
+        .withColumn("adc", Similarity.adcScore(col("codes"), col("luts"), PqSubs))
+        .withColumn("ra", row_number().over(wA))
+        .filter(col("ra") <= PqRerank)
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      val rr = short
+        .withColumn("cos", Similarity.dot(col("qe"), col("ne")))
+        .withColumn("rn", row_number().over(wR))
+      val top3 = rr.filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val adc3 = rr.filter(col("ra") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1).as("ahit"))
+      queries("q38_cosine_topk")(s, d).select(col("q_id"), col("vec_id"))
+        .join(top3, Seq("q_id", "vec_id"), "left")
+        .join(adc3, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("ahit"), lit(0))).as("n_adc"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_true"), col("n_adc"), col("n_hit"),
+          round(col("n_adc").cast("double") / col("n_true"), 4).as("recall_adc_ivf"),
+          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall_ivfpq"))
+    }),
+
     // ---- ANN cost evaluation: candidate counts vs brute force — the
     //      measured pruning factor that, with q57's recall, makes the
     //      quality/cost tradeoff of both indexes a number, not a hope. ----
@@ -537,8 +590,8 @@ object SimilarityQueries extends QueryPack {
          |  FROM $prev p LEFT JOIN ps$i s ON p.m = s.m AND p.c = s.c)""".stripMargin
     }
     s"""mm AS (SELECT * FROM (VALUES ${(0 until PqSubs).map(m => s"($m)").mkString(", ")}) t(m)),
-       |smp AS (SELECT vec_id, ne FROM e WHERE vec_id % 2 = 0),
-       |psub AS (SELECT mm.m, s.vec_id, ${sub("s.ne")} AS sub FROM smp s, mm),
+       |psmp AS (SELECT vec_id, ne FROM e WHERE vec_id % 2 = 0),
+       |psub AS (SELECT mm.m, s.vec_id, ${sub("s.ne")} AS sub FROM psmp s, mm),
        |pc0 AS (SELECT m, rn - 1 AS c, sub AS ce FROM (
        |  SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
        |  FROM psub) t WHERE rn <= $PqK),
@@ -666,9 +719,35 @@ object SimilarityQueries extends QueryPack {
          |  CAST(sum(h) AS BIGINT) AS n_hit,
          |  round(sum(ah)::DOUBLE / count(*), 4) AS recall_adc,
          |  round(sum(h)::DOUBLE / count(*), 4) AS recall_pq FROM j""".stripMargin
+    val q69 =
+      s"""WITH ${preppedCte(0)},
+         |${ivfCandCte("icand")},
+         |$pqCte,
+         |scq AS (SELECT ic.q_id, ic.vec_id, $adcExpr AS adc
+         |  FROM icand ic JOIN qpv q ON ic.q_id = q.q_id
+         |    JOIN codesp c ON ic.vec_id = c.vec_id),
+         |sl AS (SELECT q_id, vec_id, ra FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(adc, 6) DESC, vec_id) AS ra FROM scq) t
+         |  WHERE ra <= $PqRerank),
+         |rrk AS (SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY round(${dotSql("qs.qe", "ex.ne")}, 6) DESC, s.vec_id) AS rn
+         |  FROM sl s JOIN qs ON s.q_id = qs.q_id JOIN e ex ON s.vec_id = ex.vec_id),
+         |rr3 AS (SELECT q_id, vec_id FROM rrk WHERE rn <= 3),
+         |ad3 AS (SELECT q_id, vec_id FROM sl WHERE ra <= 3),
+         |bf AS (${base("q38_cosine_topk")}),
+         |j AS (SELECT bf.q_id, bf.vec_id,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h,
+         |    CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ah
+         |  FROM bf LEFT JOIN rr3 t ON bf.q_id = t.q_id AND bf.vec_id = t.vec_id
+         |  LEFT JOIN ad3 a ON bf.q_id = a.q_id AND bf.vec_id = a.vec_id)
+         |SELECT count(*) AS n_true, CAST(sum(ah) AS BIGINT) AS n_adc,
+         |  CAST(sum(h) AS BIGINT) AS n_hit,
+         |  round(sum(ah)::DOUBLE / count(*), 4) AS recall_adc_ivf,
+         |  round(sum(h)::DOUBLE / count(*), 4) AS recall_ivfpq FROM j""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
       ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
-      ("q65_pq_recall" -> q65)
+      ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69)
   }
 
   private def baseOracles: Map[String, String] = Map(

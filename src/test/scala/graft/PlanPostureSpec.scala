@@ -65,6 +65,13 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q69: IVFPQ candidate join broadcasts the probe side like q50") {
+    val p = plan("q69_ivfpq_recall")
+    assert(p.contains("BroadcastHashJoin"), "q69 lost its broadcast join")
+    // (the 300-row recall-join tail may plan as SortMergeJoin before
+    // AQE converts it at runtime — only the candidate join is guarded)
+  }
+
   test("q66: split assignment is map-side — no join, no window, one aggregate exchange") {
     val p = plan("q66_data_split")
     assert(!p.contains("Join"), "split assignment must not join")
