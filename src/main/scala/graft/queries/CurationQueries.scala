@@ -33,6 +33,8 @@ object CurationQueries extends QueryPack {
   private val QuotaSeed = 17  // independent seed for quota sampling
   private val Quota = 20      // max docs kept per source domain
   private val PackBudget = 256 // token budget per training sequence (q68)
+  private val DeconN = 4       // decontamination n-gram length (q70)
+  private val EvalMod = 97     // doc_id % EvalMod == 0 marks the held-out eval set
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_curation" -> ((s, d) => {
@@ -129,6 +131,34 @@ object CurationQueries extends QueryPack {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           (element_at(packs, 1) + 1).as("n_packs"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Benchmark decontamination: flag training docs sharing any
+    //      distinct DeconN-gram with the held-out eval set (the overlap
+    //      scrub every pretraining corpus runs against its benchmark
+    //      suites). The eval set's shingle hashes are tiny (benchmarks
+    //      are MBs, not TBs) → BROADCAST left-semi join against the
+    //      map-side-exploded training shingles; no corpus shuffle. The
+    //      60-bit md5 shingle hash makes the probe set compact and the
+    //      comparison engine-portable. ----
+    "q70_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Dedup.distinctShingles(col("text"), DeconN).as("sh"))
+        .withColumn("hs", transform(col("sh"), x => Hashing.md5Long(x)))
+      val evalSet = docs.filter(col("doc_id") % EvalMod === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+      val contaminated = train
+        .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+        .join(broadcast(evalSet), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("source")).distinct()
+      train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+        .join(contaminated.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
+        .select(col("source"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("source"))
     })
   )
 
@@ -200,6 +230,26 @@ object CurationQueries extends QueryPack {
          |        THEN [acc[1] + 1, x[2]] ELSE [acc[1], acc[2] + x[2]] END) AS st
          |  FROM tk GROUP BY source)
          |SELECT source, n_docs, n_tokens, st[1] + 1 AS n_packs
-         |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q70_decontamination" ->
+      s"""WITH dd AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id, source, unnest(list_distinct(
+         |    CASE WHEN len(tk) >= $DeconN THEN list_transform(
+         |      generate_series(1, len(tk) - ${DeconN - 1}),
+         |      i -> array_to_string(tk[i:i+${DeconN - 1}], ' '))
+         |    ELSE []::VARCHAR[] END)) AS s FROM dd),
+         |hs AS (SELECT doc_id, source,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+         |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id % $EvalMod = 0),
+         |tr AS (SELECT source FROM documents WHERE doc_id % $EvalMod != 0),
+         |ct AS (SELECT DISTINCT hs.doc_id, hs.source FROM hs JOIN ev USING (h)
+         |  WHERE hs.doc_id % $EvalMod != 0),
+         |tc AS (SELECT source, count(*) AS n_train FROM tr GROUP BY source),
+         |cc AS (SELECT source, count(*) AS n_contaminated FROM ct GROUP BY source)
+         |SELECT tc.source, CAST(tc.n_train AS BIGINT) AS n_train,
+         |  CAST(coalesce(cc.n_contaminated, 0) AS BIGINT) AS n_contaminated
+         |FROM tc LEFT JOIN cc ON tc.source = cc.source
+         |ORDER BY tc.source ASC NULLS FIRST""".stripMargin
   )
 }
