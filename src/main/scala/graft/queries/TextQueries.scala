@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.ext.TextAnalysis
+import graft.ext.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,27 @@ object TextQueries extends QueryPack {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_fp"),
           countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Repetition signal (the MassiveText/Gopher duplicate-n-gram
+    //      filter): fraction of a doc's 2-grams that are repeats of an
+    //      earlier 2-gram. Per-doc work is a pure map-side expression;
+    //      the per-source aggregate ratio divides exact integer sums
+    //      (micro-average), so the double math is one division — no
+    //      order-dependent float summation to diverge across engines. ----
+    "q71_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+        .withColumn("n2", (size(TextAnalysis.tokens(col("text"))) - 1).cast("long"))
+        .withColumn("d2", size(Dedup.distinctShingles(col("text"), 2)).cast("long"))
+        .withColumn("frac", lit(1.0) - col("d2").cast("double") / col("n2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("frac") > 0.08, 1L).otherwise(0L)).as("n_repetitive"),
+          sum(col("d2")).as("sd2"), sum(col("n2")).as("sn2"))
+        .select(col("source"), col("n_docs"), col("n_repetitive"),
+          round(lit(1.0) - col("sd2").cast("double") / col("sn2"), 4).as("dup2_frac"))
         .orderBy(col("source"))
     })
   )
@@ -127,6 +148,18 @@ object TextQueries extends QueryPack {
         |       ELSE [] END) AS fps FROM sh),
         |e AS (SELECT source, unnest(fps) AS fp FROM w)
         |SELECT source, count(*) AS n_fp, count(DISTINCT fp) AS n_distinct_fp
-        |FROM e GROUP BY source ORDER BY source""".stripMargin
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    "q71_repetition" ->
+      """WITH dd AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT source, len(tk) - 1 AS n2,
+        |    len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS d2
+        |  FROM dd WHERE len(tk) >= 2),
+        |f AS (SELECT source, n2, d2, 1.0 - d2::DOUBLE / n2 AS frac FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN frac > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  round(1.0 - sum(d2)::DOUBLE / sum(n2), 4) AS dup2_frac
+        |FROM f GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
