@@ -36,25 +36,71 @@ object CurationQueries extends QueryPack {
   private val DeconN = 4       // decontamination n-gram length (q70)
   private val EvalMod = 97     // doc_id % EvalMod == 0 marks the held-out eval set
 
+  /** The funnel's stage frames, shared by q61 (stage counts) and q72
+    * (downstream corpus build over the survivors). */
+  private def funnelFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .cache()
+    val langKeep = docs.filter(col("predicted") === "en")
+    val qualKeep = langKeep.filter(col("q") >= QualityMin)
+    val exactKeep = qualKeep
+      .withColumn("minid",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("doc_id") === col("minid")).drop("minid")
+    val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text",
+      shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+    val labels = Dedup.connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      .withColumnRenamed("id", "doc_id")
+    val nearKeep = exactKeep.join(labels, Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+    (docs, langKeep, qualKeep, exactKeep, nearKeep)
+  }
+
+  /** Oracle CTE chain reproducing the funnel through `nk` (the near-dup
+    * canonical survivor ids) — the SQL twin of [[funnelFrames]]. */
+  private def funnelCtes: String = {
+    val (scoreCols, caseExpr) = TextQueries.predictedSql
+    s"""scored AS (SELECT doc_id, text,
+       |    ${TextQueries.qualitySql} AS q,
+       |$scoreCols
+       |  FROM documents),
+       |base AS (SELECT doc_id, text, q, $caseExpr AS predicted FROM scored),
+       |lk AS (SELECT * FROM base WHERE predicted = 'en'),
+       |qk AS (SELECT * FROM lk WHERE q >= $QualityMin),
+       |ek AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mid
+       |  FROM qk) t WHERE doc_id = mid),
+       |${DedupQueries.minhashPairsCtes("ek")},
+       |verts AS (SELECT a_id AS id FROM np UNION SELECT b_id FROM np),
+       |und AS (SELECT a_id AS src, b_id AS dst FROM np
+       |  UNION SELECT b_id, a_id FROM np),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+       |compx AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |nk AS (SELECT e.doc_id FROM ek e LEFT JOIN compx c ON e.doc_id = c.id
+       |  WHERE c.comp IS NULL OR c.comp = e.doc_id)""".stripMargin
+  }
+
+  /** Greedy first-fit packing fold over a doc-ordered `ds` array of
+    * (doc_id, toks) structs: acc = [completed_packs, fill]. Shared by
+    * q68 (whole corpus) and q72 (funnel survivors per split). */
+  private def packFold: org.apache.spark.sql.Column = aggregate(
+    transform(col("ds"), x => x.getField("toks")),
+    array(lit(0L), lit(0L)),
+    (acc, t) => when(
+      element_at(acc, 2) + t > PackBudget && element_at(acc, 2) > 0,
+      array(element_at(acc, 1) + 1, t.cast("long")))
+      .otherwise(array(element_at(acc, 1), element_at(acc, 2) + t)))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_curation" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("predicted", TextAnalysis.langId(col("text")))
-        .withColumn("q", TextAnalysis.qualityScore(col("text")))
-        .cache()
-      val langKeep = docs.filter(col("predicted") === "en")
-      val qualKeep = langKeep.filter(col("q") >= QualityMin)
-      val exactKeep = qualKeep
-        .withColumn("minid",
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
-        .filter(col("doc_id") === col("minid")).drop("minid")
-      val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text",
-        shingleN = 3, k = K, bands = Bands, threshold = 0.8)
-      val labels = Dedup.connectedComponents(pairs.select(col("a_id"), col("b_id")))
-        .withColumnRenamed("id", "doc_id")
-      val nearKeep = exactKeep.join(labels, Seq("doc_id"), "left")
-        .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      val (docs, langKeep, qualKeep, exactKeep, nearKeep) = funnelFrames(s, d)
       val stages = Seq(
         (0, "raw", docs), (1, "lang_en", langKeep),
         (2, s"quality_ge_$QualityMin", qualKeep),
@@ -115,13 +161,7 @@ object CurationQueries extends QueryPack {
     //      that would overflow a non-empty pack closes it; an oversized
     //      doc gets its own (overflowed) pack. ----
     "q68_token_packing" -> ((s, d) => {
-      val packs = aggregate(
-        transform(col("ds"), x => x.getField("toks")),
-        array(lit(0L), lit(0L)),
-        (acc, t) => when(
-          element_at(acc, 2) + t > PackBudget && element_at(acc, 2) > 0,
-          array(element_at(acc, 1) + 1, t.cast("long")))
-          .otherwise(array(element_at(acc, 1), element_at(acc, 2) + t)))
+      val packs = packFold
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("toks"))
@@ -159,40 +199,46 @@ object CurationQueries extends QueryPack {
         .select(col("source"), col("n_train"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
         .orderBy(col("source"))
+    }),
+
+    // ---- The corpus build end-to-end: funnel survivors → deterministic
+    //      train/val/test split → token-budget packing, reported per
+    //      split. This is the composition a pretraining corpus actually
+    //      ships through — curation (q61) feeding assignment (q66) and
+    //      context-window accounting (q68) in ONE oracle-checked plan.
+    //      Packing shards on (split, source) — parallelism unit = the
+    //      domain within a split, packs never span shards — then the
+    //      per-split report sums shard counts; every sum is integer. ----
+    "q72_corpus_build" -> ((s, d) => {
+      val (_, _, _, _, nearKeep) = funnelFrames(s, d)
+      val h = Hashing.md5Long(SplitSeed, col("doc_id").cast("string")) % 100
+      val packs = packFold
+      nearKeep
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .select(col("split"), col("source"), col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("toks"))
+        .groupBy(col("split"), col("source"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("toks")))).as("ds"),
+          count(lit(1)).as("nd"), sum(col("toks")).as("nt"))
+        .select(col("split"), col("nd"), col("nt"),
+          (element_at(packs, 1) + 1).as("np"))
+        .groupBy(col("split"))
+        .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("np")).as("n_packs"))
+        .orderBy(col("split"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
-    "q61_curation" -> {
-      val (scoreCols, caseExpr) = TextQueries.predictedSql
-      s"""WITH RECURSIVE scored AS (SELECT doc_id, text,
-         |    ${TextQueries.qualitySql} AS q,
-         |$scoreCols
-         |  FROM documents),
-         |base AS (SELECT doc_id, text, q, $caseExpr AS predicted FROM scored),
-         |lk AS (SELECT * FROM base WHERE predicted = 'en'),
-         |qk AS (SELECT * FROM lk WHERE q >= $QualityMin),
-         |ek AS (SELECT doc_id, text FROM (
-         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mid
-         |  FROM qk) t WHERE doc_id = mid),
-         |${DedupQueries.minhashPairsCtes("ek")},
-         |verts AS (SELECT a_id AS id FROM np UNION SELECT b_id FROM np),
-         |und AS (SELECT a_id AS src, b_id AS dst FROM np
-         |  UNION SELECT b_id, a_id FROM np),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM verts
-         |  UNION
-         |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
-         |compx AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
-         |nk AS (SELECT e.doc_id FROM ek e LEFT JOIN compx c ON e.doc_id = c.id
-         |  WHERE c.comp IS NULL OR c.comp = e.doc_id)
+    "q61_curation" ->
+      s"""WITH RECURSIVE $funnelCtes
          |SELECT 0 AS stage, 'raw' AS name, count(*) AS n_docs FROM documents
          |UNION ALL SELECT 1, 'lang_en', count(*) FROM lk
          |UNION ALL SELECT 2, 'quality_ge_$QualityMin', count(*) FROM qk
          |UNION ALL SELECT 3, 'exact_dedup', count(*) FROM ek
          |UNION ALL SELECT 4, 'near_dup_canonical', count(*) FROM nk
-         |ORDER BY stage""".stripMargin
-    },
+         |ORDER BY stage""".stripMargin,
 
     "q66_data_split" ->
       s"""WITH hx AS (SELECT n_chars,
@@ -250,6 +296,30 @@ object CurationQueries extends QueryPack {
          |SELECT tc.source, CAST(tc.n_train AS BIGINT) AS n_train,
          |  CAST(coalesce(cc.n_contaminated, 0) AS BIGINT) AS n_contaminated
          |FROM tc LEFT JOIN cc ON tc.source = cc.source
-         |ORDER BY tc.source ASC NULLS FIRST""".stripMargin
+         |ORDER BY tc.source ASC NULLS FIRST""".stripMargin,
+
+    "q72_corpus_build" ->
+      s"""WITH RECURSIVE $funnelCtes,
+         |sv AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN nk ON d.doc_id = nk.doc_id),
+         |tk AS (SELECT source, doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS toks,
+         |    CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |    ('0x' || substr(md5('$SplitSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+         |    FROM sv) t),
+         |g AS (SELECT split, source, count(*) AS nd,
+         |    CAST(sum(toks) AS BIGINT) AS nt,
+         |    list_reduce(
+         |      list_prepend([0::BIGINT, 0::BIGINT],
+         |        list( [0::BIGINT, toks] ORDER BY doc_id)),
+         |      (acc, x) -> CASE WHEN acc[2] + x[2] > $PackBudget AND acc[2] > 0
+         |        THEN [acc[1] + 1, x[2]] ELSE [acc[1], acc[2] + x[2]] END) AS st
+         |  FROM tk GROUP BY split, source)
+         |SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(st[1] + 1) AS BIGINT) AS n_packs
+         |FROM g GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin
   )
 }
