@@ -5,6 +5,9 @@ import graft.ext.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
 
 /** North-star similarity search over `embeddings` (SURVEY.md §0):
   * exact brute-force cosine top-k, two approximate paths (multi-table
@@ -99,6 +102,18 @@ object SimilarityQueries extends QueryPack {
   private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Array[Double]]] =
     pqCache.getOrElseUpdate(d, Similarity.trainPq(
       prepped(s, d).filter(col("vec_id") % 2 === 0), PqSubs, PqK, PqIters, Dims))
+
+  /** On-disk (vec_id, ne) parquet staging of the normalized corpus —
+    * the q73 stream's input. Memoized per data dir like the streaming
+    * fixtures (holds only a path, safe across session restarts). */
+  private val ingestFixCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ingestFixture(s: SparkSession, d: String): String =
+    ingestFixCache.getOrElseUpdate(d, {
+      val tmp = Files.createTempDirectory("graft_ingest_in_").toString
+      prepped(s, d).select(col("vec_id"), col("ne"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
 
   /** Query-set modulus: corpus_count / TargetQueries (≥1), memoized per
     * dir (a pure count — parquet metadata, no scan). Spark filter and
@@ -414,6 +429,47 @@ object SimilarityQueries extends QueryPack {
         .select(col("n_true"), col("n_adc"), col("n_hit"),
           round(col("n_adc").cast("double") / col("n_true"), 4).as("recall_adc_ivf"),
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall_ivfpq"))
+    }),
+
+    // ---- Streaming index ingest — the 100 TB vector store's WRITE
+    //      path: vectors arrive on a stream and are indexed online.
+    //      IVF cell assignment (top-IvfAssignN) and the 96-bit PQ
+    //      encode are pure map-side expressions against the trained
+    //      literal codebooks, so ingest has NO shuffle, NO state store
+    //      and NO join — each micro-batch appends straight into the
+    //      inverted lists. The result audits the built index per cell
+    //      (list size, membership + code checksums); the oracle
+    //      rebuilds the same index relationally from the SAME training
+    //      math, proving the streamed index is bit-identical to a
+    //      batch rebuild (the property that lets a deployment mix
+    //      batch bootstrap with streaming catch-up). ----
+    "q73_stream_index_ingest" -> ((s, d) => {
+      val cb = pqCodebooks(s, d)
+      val cents = centroids(s, d)
+      val in = ingestFixture(s, d)
+      val tmp = Files.createTempDirectory("graft_ingest_run_").toString
+      val schema = s.read.parquet(in).schema
+      val q = s.readStream.schema(schema).parquet(in)
+        .withColumn("codes", Similarity.pqCodes(col("ne"), cb, Dims))
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
+        .select(col("vec_id"), element_at(col("codes"), 1).as("c0"),
+          explode(col("cells")).as("cell"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("cell").cast("long").as("cell"),
+          col("c0").cast("long").as("c0"), col("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("c0")).as("sum_code0"),
+          sum(col("vec_id")).as("sum_vec_id"))
+        .orderBy(col("cell"))
     }),
 
     // ---- ANN cost evaluation: candidate counts vs brute force — the
@@ -745,9 +801,24 @@ object SimilarityQueries extends QueryPack {
          |  CAST(sum(h) AS BIGINT) AS n_hit,
          |  round(sum(ah)::DOUBLE / count(*), 4) AS recall_adc_ivf,
          |  round(sum(h)::DOUBLE / count(*), 4) AS recall_ivfpq FROM j""".stripMargin
+    // The streamed index audit: rebuild the same IVF lists (iidx) and
+    // PQ codes (codesp) relationally and aggregate the identical
+    // per-cell stats — membership and code checksums included, so any
+    // divergence between streamed and batch index construction hashes.
+    val q73 =
+      s"""WITH ${preppedCte(0)},
+         |${ivfCandCte("icand")},
+         |$pqCte,
+         |j AS (SELECT i.cell, i.vec_id, c.cds[1] AS c0
+         |  FROM iidx i JOIN codesp c ON i.vec_id = c.vec_id)
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+         |  CAST(sum(c0) AS BIGINT) AS sum_code0,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+         |FROM j GROUP BY cell ORDER BY cell ASC NULLS FIRST""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
       ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
-      ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69)
+      ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69) +
+      ("q73_stream_index_ingest" -> q73)
   }
 
   private def baseOracles: Map[String, String] = Map(
