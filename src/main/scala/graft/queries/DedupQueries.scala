@@ -111,6 +111,31 @@ object DedupQueries extends QueryPack {
         .filter(col("jacc") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- Dedup planner: the HLL pre-estimator a 100 TB run fires
+    //      BEFORE paying the exact-dedup shuffle — approx_count_distinct
+    //      of the content hash is one map-side sketch merge (no
+    //      wide shuffle of the hashes themselves), and its duplicate-
+    //      fraction estimate decides whether the exact stage pays for
+    //      itself. Engines' HLL sketches differ, so (q18's pattern) the
+    //      oracle checks the ESTIMATOR against a bound — each engine's
+    //      estimate must land within 10% of exact — while the exact
+    //      fraction and the go/no-go decision compare bit-for-bit. ----
+    "q74_dedup_planner" -> ((s, d) => {
+      val exd = col("exact_distinct").cast("double")
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text").cast("binary")).as("ck"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ck")).as("exact_distinct"),
+          approx_count_distinct(col("ck"), 0.02).as("est"))
+        .select(col("source"), col("n_docs"), col("exact_distinct"),
+          round(lit(1.0) - exd / col("n_docs"), 4).as("dup_frac"),
+          (abs(col("est") - col("exact_distinct")).cast("double") / exd
+            <= 0.10).as("est_within_10pct"),
+          (lit(1.0) - exd / col("n_docs") > 0.05).as("dedup_pays"))
+        .orderBy(col("source"))
     })
   )
 
@@ -237,6 +262,15 @@ object DedupQueries extends QueryPack {
          |j AS (SELECT a_id, b_id, $JaccSql AS jacc
          |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
          |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
-         |WHERE jacc >= 0.6 ORDER BY a_id, b_id""".stripMargin
+         |WHERE jacc >= 0.6 ORDER BY a_id, b_id""".stripMargin,
+
+    "q74_dedup_planner" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS exact_distinct,
+        |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 4) AS dup_frac,
+        |  abs(approx_count_distinct(md5(text)) - count(DISTINCT md5(text)))::DOUBLE
+        |    / count(DISTINCT md5(text)) <= 0.10 AS est_within_10pct,
+        |  (1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)) > 0.05 AS dedup_pays
+        |FROM documents GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
