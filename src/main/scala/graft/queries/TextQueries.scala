@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.ext.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis operators over `documents` (SURVEY.md §0:
@@ -78,6 +79,38 @@ object TextQueries extends QueryPack {
         .select(col("source"), col("n_docs"), col("n_repetitive"),
           round(lit(1.0) - col("sd2").cast("double") / col("sn2"), 4).as("dup2_frac"))
         .orderBy(col("source"))
+    }),
+
+    // ---- TF-IDF keyword extraction: the top-3 most characteristic
+    //      terms per source. IDF is the RATIONAL variant N/df (not
+    //      ln(N/df)): every score is a product/quotient of integers in
+    //      IEEE doubles, so ranking and output hash bit-identically
+    //      across engines — a transcendental would be at the mercy of
+    //      each libm's last ulp. Shape at scale: one explode + two
+    //      hash aggregations (df on term, tf on (source, term)) + a
+    //      shuffle join on term; stopword-hot term keys are exactly
+    //      the rows with high df, whose scores sink — AQE handles the
+    //      agg skew, no salting needed for a two-level key. ----
+    "q75_tfidf_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val n = docs.count() // plan-time literal, mirrored by a scalar subquery
+      val tok = docs.select(col("source"), col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val dfreq = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(round(col("score"), 6).desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("score",
+          col("tf").cast("double") * lit(n.toDouble) / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("int").as("rk"), col("term"),
+          round(col("score"), 2).as("score"))
+        .orderBy(col("source"), col("rk"))
     })
   )
 
@@ -160,6 +193,19 @@ object TextQueries extends QueryPack {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN frac > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
         |  round(1.0 - sum(d2)::DOUBLE / sum(n2), 4) AS dup2_frac
-        |FROM f GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+        |FROM f GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q75_tfidf_terms" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+        |sc AS (SELECT tf.source, tf.term,
+        |    tf.tf::DOUBLE * (SELECT count(*)::DOUBLE FROM documents) / dfreq.df AS score
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+        |r AS (SELECT source, term, score, row_number() OVER (
+        |    PARTITION BY source ORDER BY round(score, 6) DESC, term) AS rk FROM sc)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, term, round(score, 2) AS score
+        |FROM r WHERE rk <= 3 ORDER BY source ASC NULLS FIRST, rk""".stripMargin
   )
 }
