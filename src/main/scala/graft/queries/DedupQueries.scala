@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Hashing, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,54 @@ object DedupQueries extends QueryPack {
         .filter(col("jacc") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- Signature-only vs verified dedup decisions — the measured
+    //      justification for the exact-Jaccard verify stage. Over the
+    //      LSH candidates, compare accepting on the signature estimate
+    //      (matched components / K ≥ 0.8) against the exact hashed-
+    //      shingle Jaccard ≥ 0.8: band-selected pairs are precisely the
+    //      pairs whose estimate is biased HIGH (they collided because
+    //      their signatures agree), so sig-only acceptance keeps ~98%
+    //      of true near-dups but only ~51% precision (sf0.1) — the
+    //      verify join doubles precision for one extra equi-join.
+    //      Every quantity is a ratio of integers computed identically
+    //      in both engines, so unlike the HLL/percentile sketches this
+    //      evaluation hash-compares EXACTLY. ----
+    "q76_minhash_decision" -> ((s, d) => {
+      val par = s.sparkContext.defaultParallelism
+      val sh = Tables.documents(s, d).repartition(par)
+        .withColumn("shs", Dedup.distinctShingles(col("text"), 3))
+        .withColumn("hs", array_distinct(
+          transform(col("shs"), x => Hashing.md5Long(x))))
+        .select(col("doc_id").as("id"), col("hs"))
+        .cache()
+      val sig = sh.filter(size(col("hs")) > 0)
+        .withColumn("bh", transform(col("hs"), x => x % Dedup.MinhashP))
+        .select(col("id"), Dedup.minhashSignature(col("bh"), K).as("sig"))
+      val bandRows = sig.select(col("id"),
+        posexplode(Dedup.lshBandHashes(col("sig"), K, Bands)).as(Seq("band", "bh")))
+      val cand = Dedup.pairsFromBuckets(bandRows, Seq("band", "bh"), "id")
+      cand
+        .join(sig.select(col("id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sig.select(col("id").as("b_id"), col("sig").as("sb")), "b_id")
+        .join(sh.select(col("id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(sh.select(col("id").as("b_id"), col("hs").as("hb")), "b_id")
+        .withColumn("m", size(filter(zip_with(col("sa"), col("sb"),
+          (x, y) => x === y), b => b)))
+        .withColumn("est", col("m").cast("double") / K)
+        .withColumn("jacc", Dedup.jaccard(col("ha"), col("hb")))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("est") >= 0.8, 1L).otherwise(0L)).as("n_est_pos"),
+          sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)).as("n_true_pos"),
+          sum(when(col("est") >= 0.8 && col("jacc") >= 0.8, 1L).otherwise(0L))
+            .as("n_both"))
+        .select(col("n_pairs"), col("n_est_pos"), col("n_true_pos"),
+          col("n_both"),
+          round(col("n_both").cast("double") / col("n_est_pos"), 4)
+            .as("precision_sig"),
+          round(col("n_both").cast("double") / col("n_true_pos"), 4)
+            .as("recall_sig"))
     }),
 
     // ---- Dedup planner: the HLL pre-estimator a 100 TB run fires
@@ -263,6 +311,25 @@ object DedupQueries extends QueryPack {
          |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id)
          |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM j
          |WHERE jacc >= 0.6 ORDER BY a_id, b_id""".stripMargin,
+
+    "q76_minhash_decision" ->
+      s"""WITH ${minhashPairsCtes()},
+         |mx AS (SELECT c.a_id, c.b_id,
+         |    len(list_filter(generate_series(1, $K),
+         |      i -> sa.sig[i] = sb.sig[i])) AS m, jj.jacc
+         |  FROM cand c JOIN sig sa ON c.a_id = sa.doc_id
+         |    JOIN sig sb ON c.b_id = sb.doc_id
+         |    JOIN j jj ON c.a_id = jj.a_id AND c.b_id = jj.b_id),
+         |x AS (SELECT m, jacc, m::DOUBLE / $K AS est FROM mx)
+         |SELECT count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN est >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_est_pos,
+         |  CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+         |  CAST(sum(CASE WHEN est >= 0.8 AND jacc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  round(sum(CASE WHEN est >= 0.8 AND jacc >= 0.8 THEN 1 ELSE 0 END)::DOUBLE
+         |    / sum(CASE WHEN est >= 0.8 THEN 1 ELSE 0 END), 4) AS precision_sig,
+         |  round(sum(CASE WHEN est >= 0.8 AND jacc >= 0.8 THEN 1 ELSE 0 END)::DOUBLE
+         |    / sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END), 4) AS recall_sig
+         |FROM x""".stripMargin,
 
     "q74_dedup_planner" ->
       """SELECT source, count(*) AS n_docs,
