@@ -32,6 +32,8 @@ object DedupQueries extends QueryPack {
   private val SimBits = 60
   private val ChunkBits = 15
   private val NChunks = 4
+  // q77 segment width (tokens per pseudo-line; corpus has no newlines)
+  private val SegW = 10
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -183,6 +185,51 @@ object DedupQueries extends QueryPack {
           (abs(col("est") - col("exact_distinct")).cast("double") / exd
             <= 0.10).as("est_within_10pct"),
           (lit(1.0) - exd / col("n_docs") > 0.05).as("dedup_pays"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Segment-level exact dedup (CCNet-style duplicate-span
+    //      removal): split each doc into fixed-width token segments,
+    //      hash each segment, keep only the corpus-wide FIRST occurrence
+    //      (min (doc_id, seg_idx)) of every distinct segment, reassemble
+    //      the surviving text. The testdata corpus has no newlines, so
+    //      the "line" unit is a deterministic 10-token window — the
+    //      plumbing (explode → hash → global first-occurrence → rebuild)
+    //      is exactly the at-scale shape: per-row segmentation map-side,
+    //      ONE shuffle on the uniform 60-bit segment hash (map-side
+    //      partial min compresses duplicate groups), one hash join back,
+    //      one per-doc regroup. No windows over the full corpus, no
+    //      driver collection. ----
+    "q77_segment_dedup" -> ((s, d) => {
+      val segArr = expr(
+        s"""transform(sequence(0, (size(words) + ${SegW - 1}) div $SegW - 1),
+           |  j -> array_join(slice(words, j * $SegW + 1, $SegW), ' '))""".stripMargin)
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("source"),
+          posexplode(segArr).as(Seq("seg_idx", "seg")))
+        .withColumn("hs", Hashing.md5Long(col("seg")))
+      val firsts = segs.groupBy(col("hs"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_occ"))
+      val perDoc = segs.join(firsts, Seq("hs"))
+        .withColumn("keep",
+          struct(col("doc_id"), col("seg_idx")) === col("first_occ"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("segs_kept"),
+          (sum(length(col("seg"))) + count(lit(1)) - 1).as("chars_in"),
+          length(array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ")).cast("long").as("chars_kept"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_segs")).as("n_segs"),
+          sum(col("segs_kept")).as("segs_kept"),
+          sum(col("chars_in")).as("chars_in"),
+          sum(col("chars_kept")).as("chars_kept"),
+          sum(when(col("segs_kept") === col("n_segs"), 1L).otherwise(0L))
+            .as("docs_intact"))
         .orderBy(col("source"))
     })
   )
@@ -338,6 +385,31 @@ object DedupQueries extends QueryPack {
         |  abs(approx_count_distinct(md5(text)) - count(DISTINCT md5(text)))::DOUBLE
         |    / count(DISTINCT md5(text)) <= 0.10 AS est_within_10pct,
         |  (1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)) > 0.05 AS dedup_pays
-        |FROM documents GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q77_segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+         |  FROM documents),
+         |sj AS (SELECT doc_id, source, words,
+         |    unnest(range((len(words) + ${SegW - 1}) // $SegW)) AS j FROM w),
+         |seg AS (SELECT doc_id, source, j AS seg_idx,
+         |    array_to_string(words[(j * $SegW + 1):(j * $SegW + $SegW)], ' ') AS seg
+         |  FROM sj),
+         |k AS (SELECT doc_id, source, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY ${h("seg")}
+         |      ORDER BY doc_id, seg_idx) AS rn FROM seg),
+         |per_doc AS (SELECT doc_id, source,
+         |    count(*) AS n_segs,
+         |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS segs_kept,
+         |    sum(len(seg)) + count(*) - 1 AS chars_in,
+         |    coalesce(len(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+         |      ORDER BY seg_idx)), 0) AS chars_kept
+         |  FROM k GROUP BY doc_id, source)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(n_segs) AS n_segs, sum(segs_kept) AS segs_kept,
+         |  sum(chars_in) AS chars_in, sum(chars_kept) AS chars_kept,
+         |  CAST(sum(CASE WHEN segs_kept = n_segs THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_intact
+         |FROM per_doc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
