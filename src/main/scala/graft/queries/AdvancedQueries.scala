@@ -182,10 +182,65 @@ object AdvancedQueries extends QueryPack {
           sum(col("n")).as("n_events"),
           max(col("n")).as("max_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- CDC snapshot upsert (MERGE, latest-version-per-key wins):
+    //      snapshot ∪ update-batch ∪ insert-batch → groupBy(key) +
+    //      max_by(struct, version). The merge is ONE shuffle on the
+    //      natural key with map-side partial arg-max (no full-table
+    //      window sort — the win over row_number at 100 TB, where the
+    //      snapshot dwarfs the delta). Update/insert batches are
+    //      deterministic slices of orders so the oracle rebuilds them.
+    "q81_snapshot_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snap = base.withColumn("version", lit(1L))
+      // updates touch only the status: a per-row re-rounded price
+      // (e.g. round(p*1.1, 2)) diverges between engines at .xx5
+      // boundaries — 2-cent drift measured at sf0.01 — so the batch
+      // mutates the categorical column and the sums stay bit-stable
+      val upd = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("version", lit(2L))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("version", lit(2L))
+      snap.unionByName(upd).unionByName(ins)
+        .groupBy(col("o_orderkey"))
+        .agg(max_by(
+          struct(col("o_orderstatus"), col("o_totalprice")),
+          col("version")).as("r"))
+        .select(col("o_orderkey"), col("r.o_orderstatus").as("o_orderstatus"),
+          col("r.o_totalprice").as("o_totalprice"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "q81_snapshot_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |snap AS (SELECT *, 1 AS version FROM base),
+        |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice, 2 AS version
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice, 2 AS version
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |m AS (SELECT o_orderkey,
+        |    arg_max(o_orderstatus, version) AS o_orderstatus,
+        |    arg_max(o_totalprice, version) AS o_totalprice
+        |  FROM u GROUP BY o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM m GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
     "q63_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price

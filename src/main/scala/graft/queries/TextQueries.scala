@@ -111,8 +111,55 @@ object TextQueries extends QueryPack {
         .select(col("source"), col("rk").cast("int").as("rk"), col("term"),
           round(col("score"), 2).as("score"))
         .orderBy(col("source"), col("rk"))
+    }),
+
+    // ---- PII redaction scrub: the sanitization pass every training
+    //      corpus goes through before release. The synthetic corpus
+    //      carries no PII (verified: no '@' / '-' / '+' / digits in
+    //      text), so each doc is decorated with DETERMINISTIC contact
+    //      strings derived from doc_id (the streaming-fixture pattern;
+    //      the oracle rebuilds them), then scrubbed: email → <EMAIL>,
+    //      phone → <PHONE>, IPv4 → <IP>. Detection counts come from
+    //      regexp_extract_all, removal from chained regexp_replace
+    //      (global in both engines) — all per-row codegen'd
+    //      expressions, no shuffle until the per-source rollup. ----
+    "q82_pii_redaction" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("dirty", dirty)
+        .select(col("source"),
+          size(regexp_extract_all(col("dirty"), lit(PiiEmail), lit(0))).as("ne"),
+          size(regexp_extract_all(col("dirty"), lit(PiiPhone), lit(0))).as("np"),
+          size(regexp_extract_all(col("dirty"), lit(PiiIp), lit(0))).as("ni"),
+          length(col("dirty")).as("cd"),
+          length(regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+            PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>"))
+            .as("cc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ne")).as("n_emails"),
+          sum(col("np")).as("n_phones"),
+          sum(col("ni")).as("n_ips"),
+          sum(col("cd")).as("chars_dirty"),
+          sum(col("cc")).as("chars_clean"))
+        .orderBy(col("source"))
     })
   )
+
+  // PII patterns — no capturing groups (group 0 extraction), Java-regex
+  // and RE2 compatible so Spark and DuckDB match identical spans.
+  private val PiiEmail = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+  private val PiiPhone = "\\+1-555-[0-9]{4}"
+  private val PiiIp    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** DuckDB-side stopword-hit count for `lang` (shared SQL fragment). */
   private[queries] def hitsSql(lang: String): String = {
@@ -206,6 +253,27 @@ object TextQueries extends QueryPack {
         |r AS (SELECT source, term, score, row_number() OVER (
         |    PARTITION BY source ORDER BY round(score, 6) DESC, term) AS rk FROM sc)
         |SELECT source, CAST(rk AS INTEGER) AS rk, term, round(score, 2) AS score
-        |FROM r WHERE rk <= 3 ORDER BY source ASC NULLS FIRST, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY source ASC NULLS FIRST, rk""".stripMargin,
+
+    "q82_pii_redaction" ->
+      s"""WITH dd AS (SELECT source,
+         |    text || ' contact user' || doc_id || '@mail.example.com'
+         |      || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+         |           || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |      || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'
+         |           || (doc_id % 200) || '.0.' || (doc_id % 250) ELSE '' END
+         |      AS dirty
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(dirty, '$PiiEmail'))) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(sum(len(regexp_extract_all(dirty, '\\+1-555-[0-9]{4}'))) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(sum(len(regexp_extract_all(dirty, '$PiiIp'))) AS BIGINT) AS n_ips,
+         |  CAST(sum(len(dirty)) AS BIGINT) AS chars_dirty,
+         |  CAST(sum(len(regexp_replace(regexp_replace(regexp_replace(dirty,
+         |    '$PiiEmail', '<EMAIL>', 'g'), '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+         |    '$PiiIp', '<IP>', 'g'))) AS BIGINT) AS chars_clean
+         |FROM dd GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
