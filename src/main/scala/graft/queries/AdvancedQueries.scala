@@ -217,10 +217,42 @@ object AdvancedQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- Bloom-pruned semi join (runtime-filter as an operator):
+    //      urgent orders' keys fold into one bloom (map-side sketch
+    //      merge), the fact scan is pruned map-side by might_contain
+    //      BEFORE its exchange, and the exact semi join (merge-hinted:
+    //      at 100 TB a quarter of orders doesn't broadcast) removes the
+    //      bloom's false positives — exact result, shuffle volume cut
+    //      to ~the dimension's selectivity. PlanPostureSpec asserts the
+    //      might_contain sits in the scan-side filter. ----
+    "q78_bloom_semijoin" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = graft.ext.BloomPrune.buildBloom(
+        dim, col("o_orderkey"), expectedItems = 1000000L)
+      Tables.lineitem(s, d)
+        .filter(graft.ext.BloomPrune.mightContain(bloom, col("l_orderkey")))
+        .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "q78_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
     "q81_snapshot_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |snap AS (SELECT *, 1 AS version FROM base),

