@@ -55,6 +55,7 @@ object SimilarityQueries extends QueryPack {
   private val PqRerank = 30   // ADC shortlist size re-ranked with exact dots
   private val IvfK = 96       // IVF cells
   private val IvfIters = 3    // Lloyd iterations
+  private val SemTau = 0.3    // SemDeDup within-cluster cosine threshold
   private val IvfAssignN = 2  // corpus multi-assignment (top-2 cells)
   private val IvfProbes = 12  // query probes (top-12 cells)
 
@@ -486,6 +487,38 @@ object SimilarityQueries extends QueryPack {
         .select(col("n_bf"), col("n_lsh"), col("n_ivf"),
           round(col("n_bf").cast("double") / col("n_lsh"), 2).as("prune_lsh"),
           round(col("n_bf").cast("double") / col("n_ivf"), 2).as("prune_ivf"))
+    }),
+
+    // ---- SemDeDup (Abbas et al. '23): semantic dedup = k-means
+    //      cluster the embeddings, then prune within-cluster near-
+    //      duplicates. Reuses the trained IVF centroids; assignment is
+    //      the same map-side literal-matrix argmax as the index build,
+    //      pair comparisons stay WITHIN cells (pairsFromBuckets — one
+    //      groupBy(cell), never an all-pairs scan), and a vector is
+    //      pruned when it cosines ≥ τ with a LOWER-id cell-mate (keep-
+    //      first — pair-local, no transitive closure, so the oracle
+    //      reproduces it relationally). At 100 TB the cell count k
+    //      scales with n, holding per-cell occupancy (and the O(Σ
+    //      cell²) compare cost) constant per partition. ----
+    "q79_semdedup" -> ((s, d) => {
+      val cents = centroids(s, d)
+      val cells = prepped(s, d)
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .withColumn("cell", element_at(Similarity.topCells(col("dots"), 1), 1))
+        .select(col("vec_id"), col("ne"), col("cell"))
+      val rows = cells.select(struct(col("vec_id"), col("ne")).as("vn"),
+        col("cell"))
+      val removed = graft.ext.Dedup.pairsFromBuckets(rows, Seq("cell"), "vn")
+        .withColumn("cos", Similarity.dot(col("a_id.ne"), col("b_id.ne")))
+        .filter(col("cos") >= SemTau)
+        .select(col("b_id.vec_id").as("vec_id"))
+        .distinct()
+        .withColumn("rm", lit(1L))
+      cells.join(removed, Seq("vec_id"), "left")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+        .orderBy(col("cell"))
     })
   )
 
@@ -583,11 +616,10 @@ object SimilarityQueries extends QueryPack {
        |  WHERE i.vec_id != p.q_id)""".stripMargin
   }
 
-  /** k-means IVF candidate CTEs, ending in `endName` (q_id, qe, vec_id,
-    * ne). Mirrors [[Similarity.trainKmeans]] + [[ivfCandidates]] with
-    * the iterations unrolled; every float op is the same sequential
-    * fold, so the centroids are bit-identical across engines. */
-  private def ivfCandCte(endName: String): String = {
+  /** Lloyd-training CTEs shared by the IVF and SemDeDup oracles:
+    * `smp`, `c0` … `c<IvfIters>` (the trained centroids), mirroring
+    * [[Similarity.trainKmeans]] with iterations unrolled. */
+  private def kmeansTrainCtes: String = {
     def iter(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""a$i AS (SELECT vec_id, ne, c FROM (
@@ -607,7 +639,15 @@ object SimilarityQueries extends QueryPack {
     s"""smp AS (SELECT vec_id, ne FROM e WHERE vec_id % 2 = 0),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ne AS ce
        |  FROM smp ORDER BY vec_id LIMIT $IvfK),
-       |${(1 to IvfIters).map(iter).mkString(",\n")},
+       |${(1 to IvfIters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  /** k-means IVF candidate CTEs, ending in `endName` (q_id, qe, vec_id,
+    * ne). Mirrors [[ivfCandidates]]; every float op is the same
+    * sequential fold, so the centroids are bit-identical across
+    * engines. */
+  private def ivfCandCte(endName: String): String = {
+    s"""$kmeansTrainCtes,
        |iidx AS (SELECT vec_id, ne, c AS cell FROM (
        |  SELECT e.vec_id, e.ne, cc.c, row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${dotSql("e.ne", "cc.ce")}, 6) DESC, cc.c) AS rn
@@ -815,10 +855,28 @@ object SimilarityQueries extends QueryPack {
          |  CAST(sum(c0) AS BIGINT) AS sum_code0,
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
          |FROM j GROUP BY cell ORDER BY cell ASC NULLS FIRST""".stripMargin
+    val q79 =
+      s"""WITH ${preppedCte(0)},
+         |$kmeansTrainCtes,
+         |cells AS (SELECT vec_id, ne, c AS cell FROM (
+         |  SELECT e.vec_id, e.ne, cc.c, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${dotSql("e.ne", "cc.ce")}, 6) DESC, cc.c) AS rn
+         |  FROM e, c$IvfIters cc) t WHERE rn = 1),
+         |bc AS (SELECT cell FROM cells GROUP BY cell
+         |  HAVING count(*) BETWEEN 2 AND ${graft.ext.Dedup.DefaultMaxBucket}),
+         |rm AS (SELECT DISTINCT b.vec_id
+         |  FROM bc JOIN cells a ON a.cell = bc.cell
+         |    JOIN cells b ON b.cell = bc.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.ne", "b.ne")} >= $SemTau)
+         |SELECT CAST(cells.cell AS INTEGER) AS cell, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN rm.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed
+         |FROM cells LEFT JOIN rm ON cells.vec_id = rm.vec_id
+         |GROUP BY cells.cell ORDER BY cell ASC NULLS FIRST""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
       ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
       ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69) +
-      ("q73_stream_index_ingest" -> q73)
+      ("q73_stream_index_ingest" -> q73) + ("q79_semdedup" -> q79)
   }
 
   private def baseOracles: Map[String, String] = Map(
