@@ -318,4 +318,60 @@ object Dedup {
       .filter(col("jacc") >= threshold)
     verified.select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }
+
+  /** Incremental MinHash-LSH: near-dup pairs BETWEEN a delta batch and
+    * an existing corpus (never within either side) — the nightly-ingest
+    * shape. The corpus's band rows are the standing index; the delta's
+    * band rows probe it with an equi-join on (band, bucket). Returns
+    * (d_id, c_id, jacc ≥ threshold).
+    *
+    * The hot-bucket guard applies to CORPUS bucket occupancy only: a
+    * probe against a capped index bucket is a bounded lookup, and a
+    * corpus bucket of size 1 must still be probe-able (unlike the
+    * self-join case, where singleton buckets pair with nothing). At
+    * scale the corpus side is computed once and persisted; per batch
+    * only the delta's signatures (O(|delta|)) and the bucket equi-join
+    * are paid — never O(|corpus|) re-hashing, never within-corpus
+    * pairs. */
+  def minhashLshPairsAcross(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def prep(docs: DataFrame): DataFrame = {
+      val par = docs.sparkSession.sparkContext.defaultParallelism
+      docs.repartition(par)
+        .withColumn("shs", distinctShingles(col(textCol), shingleN))
+        .withColumn("hs", array_distinct(
+          transform(col("shs"), s => Hashing.md5Long(s))))
+        .select(col(idCol).as("id"), col("hs"))
+        .cache()
+    }
+    def bandRows(sh: DataFrame): DataFrame = sh
+      .filter(size(col("hs")) > 0)
+      .withColumn("bh0", transform(col("hs"), x => x % MinhashP))
+      .select(col("id"), minhashSignature(col("bh0"), k).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
+    val shD = prep(delta)
+    val shC = prep(corpus)
+    val bandsC = bandRows(shC)
+    val guarded = bandsC.join(
+      bandsC.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") <= maxBucket)
+        .select(col("band"), col("bh")),
+      Seq("band", "bh"))
+    val cand = bandRows(shD).select(col("band"), col("bh"), col("id").as("d_id"))
+      .join(guarded.select(col("band"), col("bh"), col("id").as("c_id")),
+        Seq("band", "bh"))
+      .select(col("d_id"), col("c_id")).distinct()
+    cand
+      .join(shD.select(col("id"), col("hs").as("ha")), col("d_id") === col("id"))
+      .drop("id")
+      .join(shC.select(col("id"), col("hs").as("hb")), col("c_id") === col("id"))
+      .drop("id")
+      .withColumn("jacc", jaccard(col("ha"), col("hb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("d_id"), col("c_id"), round(col("jacc"), 4).as("jacc"))
+  }
 }

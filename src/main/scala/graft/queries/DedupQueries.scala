@@ -231,6 +231,45 @@ object DedupQueries extends QueryPack {
           sum(when(col("segs_kept") === col("n_segs"), 1L).otherwise(0L))
             .as("docs_intact"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Incremental dedup: admit a delta batch against the standing
+    //      corpus — the nightly-ingest path. Stage 1: exact content-key
+    //      anti join (delta hash vs corpus hash set). Stage 2: MinHash-
+    //      LSH near-dup of the exact survivors AGAINST THE CORPUS ONLY
+    //      (Dedup.minhashLshPairsAcross — delta band rows probe the
+    //      corpus band index; within-corpus pairs are never computed,
+    //      so per-batch cost is O(|delta|) signatures + a bucket
+    //      equi-join, not a corpus re-dedup). Delta = doc_id % 7 = 3 (coprime with the
+    //      20-source assignment, so every source contributes delta docs),
+    //      so the oracle rebuilds both sides. ----
+    "q80_incremental_dedup" -> ((s, d) => {
+      val isDelta = col("doc_id") % 7 === 3
+      val docs = Tables.documents(s, d)
+      val delta = docs.filter(isDelta)
+        .select(col("doc_id"), col("source"), col("text"),
+          Dedup.contentKey(col("text")).as("ck"))
+      val corpus = docs.filter(!isDelta)
+      val corpusKeys = corpus
+        .select(Dedup.contentKey(col("text")).as("ck")).distinct()
+      val exactSurv = delta.join(corpusKeys, Seq("ck"), "left_anti")
+      val nearIds = Dedup
+        .minhashLshPairsAcross(exactSurv, corpus, "doc_id", "text",
+          shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+        .select(col("d_id").as("doc_id")).distinct()
+        .withColumn("nd", lit(1L))
+      delta.select(col("doc_id"), col("source"))
+        .join(exactSurv.select(col("doc_id"), lit(1L).as("es")),
+          Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_delta"),
+          sum(when(col("es").isNull, 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("es").isNotNull && col("nd").isNotNull, 1L)
+            .otherwise(0L)).as("n_near_dup"),
+          sum(when(col("es").isNotNull && col("nd").isNull, 1L)
+            .otherwise(0L)).as("n_admitted"))
+        .orderBy(col("source"))
     })
   )
 
@@ -241,12 +280,12 @@ object DedupQueries extends QueryPack {
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
   /** Shared CTE: doc_id + distinct 3-token shingles over `src`. */
-  private def ShinglesCte(src: String = "documents"): String =
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
-       |sh AS (SELECT doc_id, list_distinct(
+  private def ShinglesCte(src: String = "documents", sfx: String = ""): String =
+    s"""d$sfx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       |sh$sfx AS (SELECT doc_id, list_distinct(
        |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
        |    i -> array_to_string(tk[i:i+2], ' '))
-       |  ELSE [] END) AS sh FROM d)""".stripMargin
+       |  ELSE [] END) AS sh FROM d$sfx)""".stripMargin
 
   /** Jaccard over the distinct 60-bit hash arrays (matches the Spark
     * side, which verifies on hashes — see Dedup.minhashLshPairs). */
@@ -255,8 +294,26 @@ object DedupQueries extends QueryPack {
       | / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))""".stripMargin
 
   /** CTE deriving distinct shingle-hash arrays from the shingle CTE. */
-  private def hsCte: String =
-    s"hsx AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h("s")})) AS hs FROM sh)"
+  private def hsCte(sfx: String = ""): String =
+    s"hsx$sfx AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h("s")})) AS hs FROM sh$sfx)"
+
+  /** CTE chain `src` shingle hashes → MinHash signatures → LSH band
+    * rows (`bands<sfx>`: doc_id, b, bh) — one side of a pairing. */
+  private def bandsCtes(sfx: String): String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until K).map(j =>
+      s"list_min(list_transform(bh, b -> (${Dedup.minhashA(j)} * b + ${Dedup.minhashB(j)}) % $p))")
+      .mkString(",\n    ")
+    val bandVals = (0 until Bands).map(b => s"($b)").mkString(", ")
+    s"""bhx$sfx AS (SELECT doc_id, hs, list_transform(hs, x -> x % $p) AS bh
+       |  FROM hsx$sfx WHERE len(hs) > 0),
+       |sig$sfx AS (SELECT doc_id, [
+       |    $sigExprs] AS sig
+       |  FROM bhx$sfx),
+       |bands$sfx AS (SELECT doc_id, bb.b,
+       |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
+       |  FROM sig$sfx, (VALUES $bandVals) AS bb(b))""".stripMargin
+  }
 
   /** Shared CTE chain: `src` → shingles → MinHash signatures → LSH
     * bands → guarded candidates → Jaccard-verified pairs, ending in
@@ -264,21 +321,9 @@ object DedupQueries extends QueryPack {
     * (clustering over the same pairs), and q61 (curation funnel over
     * the post-filter survivor set). */
   private[queries] def minhashPairsCtes(src: String = "documents"): String = {
-    val p = Dedup.MinhashP
-    val sigExprs = (0 until K).map(j =>
-      s"list_min(list_transform(bh, b -> (${Dedup.minhashA(j)} * b + ${Dedup.minhashB(j)}) % $p))")
-      .mkString(",\n    ")
-    val bandVals = (0 until Bands).map(b => s"($b)").mkString(", ")
     s"""${ShinglesCte(src)},
-       |$hsCte,
-       |bhx AS (SELECT doc_id, hs, list_transform(hs, x -> x % $p) AS bh
-       |  FROM hsx WHERE len(hs) > 0),
-       |sig AS (SELECT doc_id, [
-       |    $sigExprs] AS sig
-       |  FROM bhx),
-       |bands AS (SELECT doc_id, bb.b,
-       |    ${h(s"array_to_string(list_transform(sig[bb.b*${K / Bands}+1:bb.b*${K / Bands}+${K / Bands}], v -> v::VARCHAR), ',')")} AS bh
-       |  FROM sig, (VALUES $bandVals) AS bb(b)),
+       |${hsCte()},
+       |${bandsCtes("")},
        |bc AS (SELECT b, bh FROM bands GROUP BY b, bh
        |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -289,6 +334,27 @@ object DedupQueries extends QueryPack {
        |  FROM cand JOIN hsx sa ON a_id = sa.doc_id JOIN hsx sb ON b_id = sb.doc_id),
        |np AS (SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.8)""".stripMargin
   }
+
+  /** CTE chain for the INCREMENTAL pairing (q80): delta survivors `esv`
+    * probe the corpus's band index; guard on CORPUS bucket occupancy
+    * only (mirrors [[Dedup.minhashLshPairsAcross]]). Ends in `ndx`
+    * (d_id of delta docs with a verified corpus near-dup). */
+  private def crossMinhashCtes: String =
+    s"""${ShinglesCte("esv", "n")},
+       |${hsCte("n")},
+       |${bandsCtes("n")},
+       |${ShinglesCte("corpus", "c")},
+       |${hsCte("c")},
+       |${bandsCtes("c")},
+       |bcg AS (SELECT b, bh FROM bandsc GROUP BY b, bh
+       |  HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |candx AS (SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS c_id
+       |  FROM bandsn a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh
+       |    JOIN bcg g ON b.b = g.b AND b.bh = g.bh),
+       |jx AS (SELECT d_id, c_id, $JaccSql AS jacc
+       |  FROM candx JOIN hsxn sa ON d_id = sa.doc_id
+       |    JOIN hsxc sb ON c_id = sb.doc_id),
+       |ndx AS (SELECT DISTINCT d_id FROM jx WHERE jacc >= 0.8)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q34_exact_dedup" ->
@@ -410,6 +476,25 @@ object DedupQueries extends QueryPack {
          |  sum(chars_in) AS chars_in, sum(chars_kept) AS chars_kept,
          |  CAST(sum(CASE WHEN segs_kept = n_segs THEN 1 ELSE 0 END) AS BIGINT)
          |    AS docs_intact
-         |FROM per_doc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM per_doc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q80_incremental_dedup" ->
+      s"""WITH delta AS (SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id % 7 = 3),
+         |corpus AS (SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id % 7 != 3),
+         |esv AS (SELECT d.* FROM delta d
+         |  WHERE md5(d.text) NOT IN (SELECT md5(text) FROM corpus)),
+         |$crossMinhashCtes
+         |SELECT dl.source, count(*) AS n_delta,
+         |  CAST(sum(CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dup,
+         |  CAST(sum(CASE WHEN e.doc_id IS NOT NULL AND n.d_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(CASE WHEN e.doc_id IS NOT NULL AND n.d_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+         |FROM delta dl LEFT JOIN esv e ON dl.doc_id = e.doc_id
+         |  LEFT JOIN ndx n ON dl.doc_id = n.d_id
+         |GROUP BY dl.source ORDER BY dl.source ASC NULLS FIRST""".stripMargin
   )
 }
