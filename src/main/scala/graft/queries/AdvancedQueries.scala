@@ -241,10 +241,39 @@ object AdvancedQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- Z-order (Morton) curve stats: the bit-interleave that drives
+    //      the multi-dimensional layout (sinks/ZOrderLayout — range-
+    //      partition + sort by z so parquet footers get tight min/max
+    //      envelopes in BOTH keys; ZOrderSpec measures the skipping).
+    //      This query oracle-checks the interleave math itself: coarse
+    //      z-bucket rollup over (orderkey, partkey) — pure integer
+    //      shifts, map-side, one aggregation shuffle. ----
+    "q83_zorder_stats" -> ((s, d) => {
+      val z = graft.sinks.ZOrderLayout.zvalue(
+        col("l_orderkey").bitwiseAND(lit(65535L)),
+        col("l_partkey").bitwiseAND(lit(65535L)), 16)
+      Tables.lineitem(s, d)
+        .select(z.as("z"), col("l_quantity"))
+        .groupBy(shiftright(col("z"), 20).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("z_bucket"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "q83_zorder_stats" -> {
+      val zSql = graft.sinks.ZOrderLayout.zvalueSql(
+        "(l_orderkey & 65535)", "(l_partkey & 65535)", 16)
+      s"""WITH zz AS (SELECT $zSql AS z, l_quantity FROM lineitem)
+         |SELECT z >> 20 AS z_bucket, count(*) AS n,
+         |  round(sum(l_quantity), 2) AS sum_qty
+         |FROM zz GROUP BY z_bucket
+         |ORDER BY z_bucket ASC NULLS FIRST""".stripMargin
+    },
+
     "q78_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price

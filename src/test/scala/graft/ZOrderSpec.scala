@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.ZOrderLayout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measures what the z-order layout buys: per-file min/max envelopes
+  * (what parquet footer pruning sees) must overlap a partkey slice for
+  * FEWER files than a 1-D orderkey layout, where every file spans the
+  * full partkey range. */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4)
+  private val sf = "/root/testdata/sf0.01"
+  private val NFiles = 16
+
+  /** (file, min, max) envelope of `c` per written file. */
+  private def envelopes(path: String, c: String): Array[(Long, Long)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+
+  test("z-order layout prunes a partkey slice that a 1-D layout cannot") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = Files.createTempDirectory("graft_zorder_").toString
+    val linDir = Files.createTempDirectory("graft_linear_").toString
+    ZOrderLayout.writeZOrdered(li, "l_orderkey", "l_partkey", 16, NFiles, zDir)
+    li.repartitionByRange(NFiles, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // same rows in both layouts
+    assert(spark.read.parquet(zDir).count() == li.count())
+
+    // a ~1/8 partkey slice: which files COULD contain it, by footer stats
+    val pkMax = li.agg(max(col("l_partkey"))).head.getLong(0)
+    val (lo, hi) = (pkMax / 2, pkMax / 2 + pkMax / 8)
+    def touched(path: String): Int =
+      envelopes(path, "l_partkey").count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val zTouched = touched(zDir)
+    val linTouched = touched(linDir)
+    assert(linTouched == NFiles,
+      s"1-D orderkey layout should leave every file spanning partkey ($linTouched)")
+    // ideal quadrant alignment touches 4/16; sampled range bounds blur
+    // cell edges, so allow up to 5/8 — still a 6+-file prune where the
+    // 1-D layout prunes zero
+    assert(zTouched * 8 <= NFiles * 5,
+      s"z-order should prune ≥3/8 of files for a 1/8 slice, touched $zTouched/$NFiles")
+
+    // and the z layout must not have destroyed orderkey locality entirely:
+    // an orderkey slice still prunes some files
+    val okMax = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    val okTouched = envelopes(zDir, "l_orderkey")
+      .count { case (mn, mx) => mx >= okMax / 2 && mn <= okMax / 2 + okMax / 8 }
+    assert(okTouched < NFiles,
+      s"z-order lost all orderkey locality ($okTouched/$NFiles)")
+  }
+}
