@@ -152,7 +152,11 @@ object TextQueries extends QueryPack {
           sum(col("cd")).as("chars_dirty"),
           sum(col("cc")).as("chars_clean"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // ---- Heavy hitters: count-min sketch vs exact top-10 terms (see
+    //      [[heavyHitters]]) ----
+    "q84_heavy_hitters" -> ((s, d) => heavyHitters(s, d))
   )
 
   // PII patterns — no capturing groups (group 0 extraction), Java-regex
@@ -160,6 +164,38 @@ object TextQueries extends QueryPack {
   private val PiiEmail = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
   private val PiiPhone = "\\+1-555-[0-9]{4}"
   private val PiiIp    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** q84: count-min sketch vs exact heavy hitters. The sketch is a
+    * mergeable map-side partial aggregate (the CMS property that makes
+    * frequency estimation work at 100 TB: fixed-size per-partition
+    * tables merged like HLL registers); the exact top-k is a groupBy +
+    * TakeOrdered. Engines' sketches differ, so (q18/q54/q74's pattern)
+    * the cross-engine check is the GUARANTEE, not the estimate: CMS
+    * never underestimates, and overshoots ≤ ε·N with prob 1−δ — both
+    * asserted as booleans the oracle emits as literal TRUE. The k=10
+    * collect and the one sketch binary are the trainKmeans-style
+    * driver seam (k rows, not data). */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .cache()
+    val eps = 0.001
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      tok.agg(count_min_sketch(col("term"), lit(eps), lit(0.999), lit(42))
+        .as("sk")).head.getAs[Array[Byte]](0))
+    val nTotal = tok.count()
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(10).collect()
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val (term, exact) = (r.getString(0), r.getLong(1))
+      val est = sk.estimateCount(term)
+      (i + 1, term, exact, est >= exact, est <= exact + (eps * nTotal).toLong)
+    }.toSeq
+    rows.toDF("rk", "term", "exact_n", "est_ge_exact", "est_within_eps")
+      .orderBy(col("rk"))
+  }
 
   /** DuckDB-side stopword-hit count for `lang` (shared SQL fragment). */
   private[queries] def hitsSql(lang: String): String = {
@@ -274,6 +310,16 @@ object TextQueries extends QueryPack {
          |  CAST(sum(len(regexp_replace(regexp_replace(regexp_replace(dirty,
          |    '$PiiEmail', '<EMAIL>', 'g'), '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
          |    '$PiiIp', '<IP>', 'g'))) AS BIGINT) AS chars_clean
-         |FROM dd GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM dd GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q84_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |g AS (SELECT term, count(*) AS exact_n FROM t GROUP BY term),
+        |r AS (SELECT term, exact_n, row_number() OVER (
+        |    ORDER BY exact_n DESC, term) AS rk FROM g)
+        |SELECT CAST(rk AS INTEGER) AS rk, term, exact_n,
+        |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
   )
 }
