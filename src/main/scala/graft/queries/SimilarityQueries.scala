@@ -519,6 +519,35 @@ object SimilarityQueries extends QueryPack {
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"))
         .orderBy(col("cell"))
+    }),
+
+    // ---- Per-domain embedding centroids: the domain-drift /
+    //      coherence monitor a corpus pipeline runs per source —
+    //      centroid of the unit vectors, whose norm ∈ [0,1] measures
+    //      domain coherence (≈1 when a source's docs all embed alike).
+    //      The element-wise mean is an ORDER-PINNED sequential fold
+    //      (sorted collect_list + aggregate/zip_with, the trainKmeans
+    //      update shape) so the oracle reproduces the doubles
+    //      bit-for-bit; a tree-reduced float mean would be faster at
+    //      extreme group sizes but is not bit-portable — that is the
+    //      documented price of hash-exact verification here. ----
+    "q87_domain_centroids" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val zero = typedLit(Seq.fill(Dims)(0.0))
+      prepped(s, d).join(src, Seq("vec_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vecs"),
+          array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"))
+        .withColumn("ssum", aggregate(
+          transform(col("vs"), v => v.getField("ne")), zero,
+          (acc, x) => zip_with(acc, x, _ + _)))
+        .withColumn("mean", transform(col("ssum"), _ / col("n_vecs")))
+        .select(col("source"), col("n_vecs"),
+          round(sqrt(Similarity.dot(col("mean"), col("mean"))), 4)
+            .as("coherence"),
+          round(element_at(col("mean"), 1), 6).as("c0"))
+        .orderBy(col("source"))
     })
   )
 
@@ -873,10 +902,26 @@ object SimilarityQueries extends QueryPack {
          |    AS n_removed
          |FROM cells LEFT JOIN rm ON cells.vec_id = rm.vec_id
          |GROUP BY cells.cell ORDER BY cell ASC NULLS FIRST""".stripMargin
+    val q87 =
+      s"""WITH ${preppedCte(0)},
+         |s0 AS (SELECT e.vec_id, e.ne, d.source
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id),
+         |g AS (SELECT source, count(*) AS n_vecs,
+         |    list(ne ORDER BY vec_id) AS vs FROM s0 GROUP BY source),
+         |f AS (SELECT source, n_vecs, list_reduce(vs,
+         |    (a, b) -> list_transform(generate_series(1, $Dims), j -> a[j] + b[j]))
+         |    AS ssum FROM g),
+         |m AS (SELECT source, n_vecs,
+         |    list_transform(ssum, x -> x / n_vecs) AS mean FROM f)
+         |SELECT source, n_vecs,
+         |  round(sqrt(${dotSql("mean", "mean")}), 4) AS coherence,
+         |  round(mean[1], 6) AS c0
+         |FROM m ORDER BY source ASC NULLS FIRST""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
       ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
       ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69) +
-      ("q73_stream_index_ingest" -> q73) + ("q79_semdedup" -> q79)
+      ("q73_stream_index_ingest" -> q73) + ("q79_semdedup" -> q79) +
+      ("q87_domain_centroids" -> q87)
   }
 
   private def baseOracles: Map[String, String] = Map(

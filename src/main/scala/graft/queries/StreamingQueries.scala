@@ -251,6 +251,35 @@ object StreamingQueries extends QueryPack {
       // the memory-sink table registers in the session that STARTED the
       // query — read it from the same clone
       ss.table(mem).orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- Sliding event-time windows (1 h span, 30 min slide): each
+    //      event lands in exactly 2 overlapping windows — the overlap
+    //      factor is the state/shuffle cost a sliding aggregation pays
+    //      over tumbling, paid map-side at assignment (Spark explodes
+    //      the window list per row before the keyed state). Same drain
+    //      harness as q42; oracle assigns the 2 windows relationally. ----
+    "q85_stream_sliding" -> ((s, d) => {
+      val in = Fixtures.dir("stream", d) { fx =>
+        Tables.events(s, d).write.mode("overwrite").json(s"$fx/in")
+      }
+      val tmp = Files.createTempDirectory("graft_stream_run_").toString
+      val ss = streamSession(s)
+      val stream = ss.readStream.schema(EventSchema).json(s"$in/in")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val mem = "q85_mem_" + UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      lastStateMetrics("q85_stream_sliding") = StateMetrics.collect(q)
+      ss.table(mem).orderBy(col("win_start"), col("event_type"))
     })
   )
 
@@ -283,6 +312,17 @@ object StreamingQueries extends QueryPack {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour, event_type""".stripMargin
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q85_stream_sliding" ->
+      """WITH w AS (SELECT
+        |    time_bucket(INTERVAL '30 minutes', ts)
+        |      - to_minutes(30 * k.k) AS win_start,
+        |    event_type, value
+        |  FROM events, (VALUES (0), (1)) k(k))
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin
   )
 }

@@ -156,8 +156,36 @@ object TextQueries extends QueryPack {
 
     // ---- Heavy hitters: count-min sketch vs exact top-10 terms (see
     //      [[heavyHitters]]) ----
-    "q84_heavy_hitters" -> ((s, d) => heavyHitters(s, d))
+    "q84_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+
+    // ---- RAG chunking: overlapping fixed-width token windows (64-token
+    //      chunks, 48-token stride → 16-token overlap), the split every
+    //      retrieval index ingests. Pure map-side sequence/slice
+    //      expressions (the q77 segmentation shape plus stride), chunk
+    //      identity via the portable 60-bit hash so the overlap-induced
+    //      duplicate rate is measured per source — one rollup shuffle. ----
+    "q86_rag_chunking" -> ((s, d) => {
+      val chunkArr = expr(
+        s"""transform(sequence(0, (size(words) - 1) div $ChunkStride),
+           |  j -> array_join(slice(words, j * $ChunkStride + 1, $ChunkW), ' '))""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("source"),
+          posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+        .withColumn("ct", size(split(col("chunk"), " ")))
+        .withColumn("ch", graft.ext.Hashing.md5Long(col("chunk")))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("ct")).as("sum_chunk_tokens"),
+          max(col("ct")).cast("long").as("max_chunk_tokens"),
+          countDistinct(col("ch")).as("n_distinct_chunks"))
+        .orderBy(col("source"))
+    })
   )
+
+  private val ChunkW = 64      // tokens per RAG chunk
+  private val ChunkStride = 48 // stride (overlap = ChunkW - ChunkStride)
 
   // PII patterns — no capturing groups (group 0 extraction), Java-regex
   // and RE2 compatible so Spark and DuckDB match identical spans.
@@ -320,6 +348,23 @@ object TextQueries extends QueryPack {
         |    ORDER BY exact_n DESC, term) AS rk FROM g)
         |SELECT CAST(rk AS INTEGER) AS rk, term, exact_n,
         |  TRUE AS est_ge_exact, TRUE AS est_within_eps
-        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "q86_rag_chunking" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+         |  FROM documents),
+         |sj AS (SELECT doc_id, source, words,
+         |    unnest(range((len(words) - 1) // $ChunkStride + 1)) AS j FROM w),
+         |c AS (SELECT doc_id, source,
+         |    array_to_string(words[(j * $ChunkStride + 1):(j * $ChunkStride + $ChunkW)],
+         |      ' ') AS chunk
+         |  FROM sj),
+         |hh AS (SELECT doc_id, source, len(string_split(chunk, ' ')) AS ct,
+         |    ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch FROM c)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens,
+         |  CAST(max(ct) AS BIGINT) AS max_chunk_tokens,
+         |  count(DISTINCT ch) AS n_distinct_chunks
+         |FROM hh GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
