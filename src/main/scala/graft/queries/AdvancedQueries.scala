@@ -260,10 +260,71 @@ object AdvancedQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("z_bucket"))
+    }),
+
+    // ---- RANGE-frame rolling window: per-user trailing-1-hour event
+    //      count/value (RANGE BETWEEN, event-time bounds — the frame
+    //      flavor q07's running ROWS sum doesn't cover). Bounds are in
+    //      exact epoch MILLIS on both engines (Spark unix_millis ↔
+    //      DuckDB epoch_ms; fractional-second epoch() would misalign
+    //      frames). One shuffle on user_id; frame sums accumulate in
+    //      frame order, so doubles compare bit-for-bit. ----
+    "q89_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsl"))
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, d)
+        .withColumn("tsl", unix_millis(col("ts")))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .withColumn("roll_sum", sum(col("value")).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("roll_n")).as("peak_n"),
+          max(col("roll_sum")).as("peak_sum"))
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          max(col("peak_n")).as("max_peak_n"),
+          sum(col("peak_n")).as("sum_peak_n"),
+          round(max(col("peak_sum")), 2).as("max_peak_sum"))
+        .orderBy(col("cohort"))
+    }),
+
+    // ---- ntile quantile bucketing: per-source length deciles (the
+    //      stratification primitive behind length-balanced sampling);
+    //      unique (n_chars, doc_id) tie-break keeps the bucket
+    //      assignment deterministic across engines. ----
+    "q90_ntile_deciles" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("decile"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "q89_rolling_window" ->
+      """WITH e AS (SELECT user_id, value, epoch_ms(ts)::BIGINT AS tsl
+        |  FROM events),
+        |r AS (SELECT user_id, count(*) OVER w AS roll_n,
+        |    sum(value) OVER w AS roll_sum
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsl
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT user_id, max(roll_n) AS peak_n,
+        |    max(roll_sum) AS peak_sum FROM r GROUP BY user_id)
+        |SELECT user_id % 10 AS cohort, count(*) AS n_users,
+        |  max(peak_n) AS max_peak_n,
+        |  CAST(sum(peak_n) AS BIGINT) AS sum_peak_n,
+        |  round(max(peak_sum), 2) AS max_peak_sum
+        |FROM p GROUP BY cohort ORDER BY cohort ASC NULLS FIRST""".stripMargin,
+
+    "q90_ntile_deciles" ->
+      """WITH t AS (SELECT n_chars, ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS decile FROM documents)
+        |SELECT decile, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY decile ORDER BY decile ASC NULLS FIRST""".stripMargin,
+
     "q83_zorder_stats" -> {
       val zSql = graft.sinks.ZOrderLayout.zvalueSql(
         "(l_orderkey & 65535)", "(l_partkey & 65535)", 16)

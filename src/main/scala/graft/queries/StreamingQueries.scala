@@ -280,6 +280,78 @@ object StreamingQueries extends QueryPack {
       q.awaitTermination()
       lastStateMetrics("q85_stream_sliding") = StateMetrics.collect(q)
       ss.table(mem).orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // ---- Streaming CDC apply: update/insert batches arrive on a file
+    //      stream and foreachBatch MERGEs each into the standing
+    //      snapshot (q81's latest-version-per-key shape, applied
+    //      incrementally). The merge is commutative (arg-max on
+    //      version), so batch order cannot change the final state —
+    //      the property that makes at-least-once replays safe. Each
+    //      batch rewrites the snapshot to a fresh directory (a table
+    //      format would give transactional point updates; the merge
+    //      PLAN — one shuffle on the key, map-side partial arg-max —
+    //      is identical). Oracle rebuilds the final snapshot
+    //      relationally. ----
+    "q88_stream_upsert" -> ((s, d) => {
+      val fxDir = Fixtures.dir("cdc", d) { fx =>
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        base.withColumn("version", lit(1L))
+          .write.mode("overwrite").parquet(s"$fx/snap0")
+        val in = new java.io.File(s"$fx/in"); in.mkdirs()
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val st = s"$fx/stage_$name"
+          df.coalesce(1).write.mode("overwrite").json(st)
+          val part = new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".json")).head
+          Files.move(part.toPath, new java.io.File(in, name).toPath)
+        }
+        stage(base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("version", lit(2L)), "001_upd.json")
+        stage(base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("version", lit(2L))
+          .unionByName(base.filter(col("o_orderkey") % 21 === 0)
+            .withColumn("o_orderstatus", lit("W"))
+            .withColumn("version", lit(3L))), "002_ins.json")
+      }
+      val tmp = Files.createTempDirectory("graft_cdc_run_").toString
+      val ss = streamSession(s)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("version", LongType)))
+      var snapPath = s"$fxDir/snap0"
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val next = ss.read.parquet(snapPath).unionByName(batch)
+            .groupBy(col("o_orderkey"))
+            .agg(max_by(struct(col("o_orderstatus"), col("o_totalprice"),
+              col("version")), col("version")).as("r"))
+            .select(col("o_orderkey"),
+              col("r.o_orderstatus").as("o_orderstatus"),
+              col("r.o_totalprice").as("o_totalprice"),
+              col("r.version").as("version"))
+          val out = s"$tmp/snap_$id"
+          next.write.mode("overwrite").parquet(out)
+          snapPath = out
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      ss.read.parquet(snapPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          max(col("version")).as("max_version"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -313,6 +385,29 @@ object StreamingQueries extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q88_stream_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |snap AS (SELECT *, 1 AS version FROM base),
+        |u1 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice,
+        |    2 AS version FROM base WHERE o_orderkey % 7 = 0),
+        |u2a AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |    'N' AS o_orderstatus, o_totalprice, 2 AS version
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |u2b AS (SELECT o_orderkey, 'W' AS o_orderstatus, o_totalprice,
+        |    3 AS version FROM base WHERE o_orderkey % 21 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM u1
+        |  UNION ALL SELECT * FROM u2a UNION ALL SELECT * FROM u2b),
+        |m AS (SELECT o_orderkey,
+        |    arg_max(o_orderstatus, version) AS o_orderstatus,
+        |    arg_max(o_totalprice, version) AS o_totalprice,
+        |    max(version) AS version
+        |  FROM u GROUP BY o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  max(version) AS max_version
+        |FROM m GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q85_stream_sliding" ->
       """WITH w AS (SELECT
