@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state (SURVEY.md §2.8 ST10 — greenfield relative to
   * the reference): per-key accumulators over `mapGroupsWithState`.
@@ -91,5 +91,49 @@ object Stateful {
           state.update((n, s))
           KeyedTotals(key, n, s)
       }
+  }
+
+  /** [[runningTotals]] on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes mapGroupsWithState: named
+    * typed state handles (ValueState here; ListState/MapState for
+    * richer shapes) in the RocksDB state store, per-state TTL, and
+    * timers decoupled from the output mode. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the running session (the TWS operator
+    * rejects the default HDFS-backed store). */
+  def runningTotalsTws(df: DataFrame, keyCol: String,
+      valCol: String): Dataset[KeyedTotals] = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("long").as("_1"),
+        col(valCol).cast("double").as("_2"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** transformWithState processor backing [[Stateful.runningTotalsTws]]:
+  * one ValueState cell per key, updated per batch, emitting the running
+  * total after each input group (Update-mode semantics identical to the
+  * mapGroupsWithState variant — StatefulSpec drains both through the
+  * same fixture and asserts the same totals). */
+class TotalsProcessor
+    extends StatefulProcessor[Long, (Long, Double), Stateful.KeyedTotals] {
+  @transient private var totals: ValueState[Stateful.KeyedTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState("totals",
+      Encoders.product[Stateful.KeyedTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[Stateful.KeyedTotals] = {
+    val cur =
+      if (totals.exists()) totals.get()
+      else Stateful.KeyedTotals(key, 0L, 0.0)
+    val upd = rows.foldLeft(cur)((a, r) =>
+      a.copy(n = a.n + 1, total = a.total + r._2))
+    totals.update(upd)
+    Iterator.single(upd)
   }
 }

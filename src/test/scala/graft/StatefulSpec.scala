@@ -52,6 +52,47 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet === Set((1L, 10.0)))
   }
 
+  test("transformWithState totals match mapGroupsWithState across drains (RocksDB store)") {
+    val in = Files.createTempDirectory("tws_in_").toString
+    val chk = Files.createTempDirectory("tws_chk_").toString
+    val out = Files.createTempDirectory("tws_out_").toString
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("v", DoubleType)))
+    // TWS requires the RocksDB state store — session clone keeps the
+    // provider override off the shared session
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def drain(): Unit = {
+      val q = Stateful.runningTotalsTws(
+          ss.readStream.schema(schema).json(in), "key", "v")
+        .toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"key":1,"v":2.0}
+        |{"key":1,"v":3.0}
+        |{"key":2,"v":10.0}""".stripMargin)
+    drain()
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"key":1,"v":5.0}""")
+    drain() // RocksDB state restored from checkpoint → totals continue
+    val rows = ss.read.parquet(s"$out/data").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val lastBatch = rows.map(_._4).max
+    val finalKey1 = rows.filter(r => r._1 == 1L && r._4 == lastBatch).head
+    assert(finalKey1._2 === 3L && finalKey1._3 === 10.0)
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet === Set((1L, 10.0)))
+  }
+
   test("sessionizer: out-of-order merge extends session start backwards") {
     val in = Files.createTempDirectory("sessoo_in_").toString
     val chk = Files.createTempDirectory("sessoo_chk_").toString
