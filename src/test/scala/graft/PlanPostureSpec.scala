@@ -101,6 +101,25 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bloom prune should be below the exchange (map-side, pre-shuffle)")
   }
 
+  test("q77/q86/q83: segmentation and layout queries never window or join the corpus") {
+    for ((q, noJoin) <- Seq(("q77_segment_dedup", false),
+        ("q86_rag_chunking", true), ("q83_zorder_stats", true))) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q sorts the corpus through a window")
+      if (noJoin) assert(!p.contains("Join"), s"$q joins where a groupBy suffices")
+      assert(!p.contains("CartesianProduct"), s"$q went quadratic")
+    }
+  }
+
+  test("q79/q89: semdedup and rolling window keep their intended shapes") {
+    val p79 = plan("q79_semdedup")
+    assert(!p79.contains("CartesianProduct") && !p79.contains("BroadcastNestedLoopJoin"),
+      "q79 must pair within cells, never all-pairs")
+    val p89 = plan("q89_rolling_window")
+    assert(p89.contains("Window"), "q89 lost its range-frame window")
+    assert(!p89.contains("Join"), "q89 must not join")
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
