@@ -58,15 +58,22 @@ object TextAnalysis {
     (length(c) - n + lit(1)).cast("double") / greatest(n, lit(1))
   }
 
-  /** Composite quality score in [0,1]: enough tokens, little punctuation
-    * noise, natural-language stopword presence. Rounded to 4dp so the
-    * value is reproducible across engines. */
-  def qualityScore(text: Column): Column = {
+  /** Composite quality score in [0,1], UNROUNDED: enough tokens, little
+    * punctuation noise, natural-language stopword presence. The raw
+    * double is bit-identical across engines (same ratio/product/sum
+    * chain); use it where the value feeds further arithmetic — engines'
+    * round(x, 4) half-up implementations disagree on half-boundary
+    * doubles (measured: one doc in 500 flips its 4th decimal), so
+    * re-scaling a ROUNDED score is not portable. */
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(wsTokenCount(text).cast("double") / 80.0, lit(1.0))
     val punct = punctRatio(text)
     val stop = least(stopwordRatio(text, "en") * 5.0, lit(1.0))
-    round(lenScore * 0.4 + (lit(1.0) - punct) * 0.3 + stop * 0.3, 4)
+    lenScore * 0.4 + (lit(1.0) - punct) * 0.3 + stop * 0.3
   }
+
+  /** [[qualityScoreRaw]] rounded to 4dp — the display/compare form. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
 
   /** Language-ID heuristic: argmax of per-language stopword hit counts,
     * ties broken by [[LangOrder]] preference (deterministic). */

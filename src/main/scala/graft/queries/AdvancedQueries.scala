@@ -287,6 +287,29 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("cohort"))
     }),
 
+    // ---- Explicit GROUPING SETS (Spark 4 Dataset.groupingSets — the
+    //      general form rollup/cube specialize): the (flag,status) /
+    //      (flag) / () lattice in ONE Expand + aggregation pass (no
+    //      union of re-scans). The set id is derived from the null
+    //      markers with CASE on both engines (the natural columns are
+    //      non-null) — portable where native grouping_id encodings
+    //      differ. ----
+    "q91_grouping_sets" -> ((s, d) => {
+      val gid = when(col("l_returnflag").isNull, 2).otherwise(0) +
+        when(col("l_linestatus").isNull, 1).otherwise(0)
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          gid.as("set_id"), col("n"), col("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
     // ---- ntile quantile bucketing: per-source length deciles (the
     //      stratification primitive behind length-balanced sampling);
     //      unique (n_chars, doc_id) tie-break keeps the bucket
@@ -317,6 +340,17 @@ object AdvancedQueries extends QueryPack {
         |  CAST(sum(peak_n) AS BIGINT) AS sum_peak_n,
         |  round(max(peak_sum), 2) AS max_peak_sum
         |FROM p GROUP BY cohort ORDER BY cohort ASC NULLS FIRST""".stripMargin,
+
+    "q91_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |   + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS set_id,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q90_ntile_deciles" ->
       """WITH t AS (SELECT n_chars, ntile(10) OVER (PARTITION BY source

@@ -31,6 +31,7 @@ object CurationQueries extends QueryPack {
   private val Bands = 4
   private val SplitSeed = 13  // hash-family seed for the train/val/test split
   private val QuotaSeed = 17  // independent seed for quota sampling
+  private val SampleSeed = 23 // independent seed for weighted sampling (q92)
   private val Quota = 20      // max docs kept per source domain
   private val PackBudget = 256 // token budget per training sequence (q68)
   private val DeconN = 4       // decontamination n-gram length (q70)
@@ -227,6 +228,30 @@ object CurationQueries extends QueryPack {
         .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
           sum(col("np")).as("n_packs"))
         .orderBy(col("split"))
+    }),
+
+    // ---- Quality-weighted deterministic sampling: keep each doc with
+    //      probability ∝ its quality score, decided by HASH, not
+    //      rand() — stable under reruns, re-shards, and task retries
+    //      (the property seeded rand() loses the moment partitioning
+    //      changes). thr = round(q·10⁴); keep ⇔ md5(seed|id) mod 10⁴
+    //      < thr. Per-row map-side; one rollup shuffle. thr comes from
+    //      the UNROUNDED score via floor — engines' round(x,4) half-up
+    //      disagrees on half-boundary doubles (measured: 1 doc in 500),
+    //      while the raw double and its floor are bit-identical. ----
+    "q92_weighted_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("thr",
+          floor(TextAnalysis.qualityScoreRaw(col("text")) * 10000).cast("long"))
+        .withColumn("keep",
+          Hashing.md5Long(SampleSeed, col("doc_id").cast("string")) % 10000
+            < col("thr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("thr")).as("sum_thr"),
+          sum(when(col("keep"), col("thr")).otherwise(0L)).as("sum_thr_kept"))
+        .orderBy(col("source"))
     })
   )
 
@@ -320,6 +345,20 @@ object CurationQueries extends QueryPack {
          |SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
          |  CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  CAST(sum(st[1] + 1) AS BIGINT) AS n_packs
-         |FROM g GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin
+         |FROM g GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin,
+
+    "q92_weighted_sample" ->
+      s"""WITH q AS (SELECT source, doc_id,
+         |    CAST(floor(${TextQueries.qualitySqlRaw} * 10000) AS BIGINT) AS thr
+         |  FROM documents),
+         |k AS (SELECT source, thr,
+         |    ('0x' || substr(md5('$SampleSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % 10000 < thr AS keep
+         |  FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(thr) AS BIGINT) AS sum_thr,
+         |  CAST(sum(CASE WHEN keep THEN thr ELSE 0 END) AS BIGINT) AS sum_thr_kept
+         |FROM k GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }

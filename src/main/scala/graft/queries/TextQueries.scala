@@ -231,14 +231,19 @@ object TextQueries extends QueryPack {
     s"len(list_filter(string_split(text, ' '), x -> list_contains([$list], x)))"
   }
 
-  /** DuckDB mirror of [[TextAnalysis.qualityScore]] (rounded 4dp on both
-    * sides so threshold comparisons agree bit-for-bit). */
-  private[queries] def qualitySql: String =
-    s"""round(least(len(string_split(text, ' ')) / 80.0, 1.0) * 0.4
+  /** DuckDB mirror of [[TextAnalysis.qualityScoreRaw]] — the unrounded
+    * double (bit-identical across engines; see the raw/rounded split on
+    * the Spark side). */
+  private[queries] def qualitySqlRaw: String =
+    s"""(least(len(string_split(text, ' ')) / 80.0, 1.0) * 0.4
        |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
        |        / greatest(length(text), 1)) * 0.3
        |    + least((${hitsSql("en")}
-       |        / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3, 4)""".stripMargin
+       |        / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3)""".stripMargin
+
+  /** DuckDB mirror of [[TextAnalysis.qualityScore]] (rounded 4dp on both
+    * sides so threshold comparisons agree bit-for-bit). */
+  private[queries] def qualitySql: String = s"round($qualitySqlRaw, 4)"
 
   /** DuckDB mirror of [[TextAnalysis.langId]]'s preference-ordered
     * argmax, as (scoreColumns, caseExpression-over-s_&lt;lang&gt;). */
