@@ -310,6 +310,26 @@ object AdvancedQueries extends QueryPack {
           asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- Bounded top-k aggregate: top-3 lineitems per returnflag via
+    //      graft.ext.BoundedTopK — O(k) buffer per key with map-side
+    //      combine, vs the window row_number that sorts every row
+    //      through the shuffle (q08 covers the global-top-k built-in;
+    //      this is the PER-KEY top-k at scale). Oracle = the window
+    //      formulation, which must agree exactly. ----
+    "q94_bounded_topk" -> ((s, d) => {
+      val topk = udaf(new graft.ext.BoundedTopK(3),
+        org.apache.spark.sql.Encoders.product[graft.ext.ScoredId])
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("id"))
+        .groupBy(col("l_returnflag"))
+        .agg(topk(col("v"), col("id")).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("rk0", "p")))
+        .select(col("l_returnflag"), (col("rk0") + 1).cast("int").as("rk"),
+          col("p.id").as("id"), round(col("p.v"), 2).as("price"))
+        .orderBy(col("l_returnflag"), col("rk"))
+    }),
+
     // ---- ntile quantile bucketing: per-source length deciles (the
     //      stratification primitive behind length-balanced sampling);
     //      unique (n_chars, doc_id) tie-break keeps the bucket
@@ -351,6 +371,15 @@ object AdvancedQueries extends QueryPack {
         |  (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q94_bounded_topk" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    l_orderkey * 8 + l_linenumber AS id FROM lineitem),
+        |r AS (SELECT l_returnflag, v, id, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY v DESC, id) AS rk FROM t)
+        |SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, id,
+        |  round(v, 2) AS price
+        |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
 
     "q90_ntile_deciles" ->
       """WITH t AS (SELECT n_chars, ntile(10) OVER (PARTITION BY source

@@ -352,6 +352,36 @@ object StreamingQueries extends QueryPack {
           round(sum(col("o_totalprice")), 2).as("sum_price"),
           max(col("version")).as("max_version"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- Stream-static enrichment join: the dimension-lookup shape
+    //      (events stream × small static table) the stream-stream
+    //      queries don't cover. The static side broadcasts per
+    //      micro-batch — no state store at all (unlike q55/q58's
+    //      stream-stream state), which is why at 100 TB a stream
+    //      enriches against dimensions statically and reserves stateful
+    //      joins for stream×stream. Same drain harness as q42. ----
+    "q93_stream_static_join" -> ((s, d) => {
+      val in = Fixtures.dir("stream", d) { fx =>
+        Tables.events(s, d).write.mode("overwrite").json(s"$fx/in")
+      }
+      val tmp = Files.createTempDirectory("graft_stream_run_").toString
+      val ss = streamSession(s)
+      val dim = Tables.nation(ss, d)
+        .select(col("n_nationkey"), col("n_name"))
+      val stream = ss.readStream.schema(EventSchema).json(s"$in/in")
+        .withColumn("n_nationkey", col("user_id") % 25)
+      val agg = stream.join(broadcast(dim), Seq("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      val mem = "q93_mem_" + UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      ss.table(mem).orderBy(col("n_name"))
     })
   )
 
@@ -408,6 +438,11 @@ object StreamingQueries extends QueryPack {
         |  max(version) AS max_version
         |FROM m GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q93_stream_static_join" ->
+      """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name ASC NULLS FIRST""".stripMargin,
 
     "q85_stream_sliding" ->
       """WITH w AS (SELECT
