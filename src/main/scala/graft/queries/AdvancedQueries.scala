@@ -330,6 +330,39 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("l_returnflag"), col("rk"))
     }),
 
+    // ---- lag/lead offset windows: per-user event-over-event value
+    //      delta and next-event-type transition — the offset family
+    //      (q06 rank / q07 frame / q89 range cover the others). Unique
+    //      (ts, event_id) ordering keeps offsets deterministic. ----
+    "q95_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("next_t", lead(col("event_type"), 1).over(w))
+        .filter(col("prev_v").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") - col("prev_v")), 2).as("sum_delta"),
+          sum(when(col("next_t") === col("event_type"), 1L).otherwise(0L))
+            .as("n_same_next"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- Spark 4 VariantType semi-structured path: parse_json into a
+    //      Variant column, typed variant_get extraction — the open
+    //      JSON analogue of q13's string get_json_object, but with the
+    //      binary-encoded Variant the scan can prune and the extraction
+    //      codegen (no per-row string re-parse per field). ----
+    "q96_variant_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_bucket"))
+    }),
+
     // ---- ntile quantile bucketing: per-source length deciles (the
     //      stratification primitive behind length-balanced sampling);
     //      unique (n_chars, doc_id) tie-break keeps the bucket
@@ -371,6 +404,25 @@ object AdvancedQueries extends QueryPack {
         |  (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q95_lag_delta" ->
+      """WITH t AS (SELECT event_type, value,
+        |    lag(value, 1) OVER w AS prev_v,
+        |    lead(event_type, 1) OVER w AS next_t
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value - prev_v), 2) AS sum_delta,
+        |  CAST(sum(CASE WHEN next_t = event_type THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same_next
+        |FROM t WHERE prev_v IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q96_variant_json" ->
+      """WITH t AS (SELECT CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |SELECT k % 10 AS k_bucket, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM t GROUP BY k_bucket ORDER BY k_bucket ASC NULLS FIRST""".stripMargin,
 
     "q94_bounded_topk" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
