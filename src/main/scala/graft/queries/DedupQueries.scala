@@ -233,6 +233,38 @@ object DedupQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // ---- Cross-source duplication matrix: verified near-dup pairs
+    //      rolled up by (source, source) — which domains copy which,
+    //      the provenance signal that decides scrape-dedup priorities.
+    //      Pure reuse: the q35 pair machinery + two dimension joins. ----
+    "q97_cross_source_dups" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+        "text", shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // ---- Dedup cluster-size histogram: how much of the near-dup mass
+    //      sits in big cliques vs pairs — the number that picks between
+    //      keep-one-per-cluster and more aggressive collapse. ----
+    "q98_cluster_sizes" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+        "text", shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+      Dedup.connectedComponents(pairs.select(col("a_id"), col("b_id")))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     // ---- Incremental dedup: admit a delta batch against the standing
     //      corpus — the nightly-ingest path. Stage 1: exact content-key
     //      anti join (delta hash vs corpus hash set). Stage 2: MinHash-
@@ -477,6 +509,29 @@ object DedupQueries extends QueryPack {
          |  CAST(sum(CASE WHEN segs_kept = n_segs THEN 1 ELSE 0 END) AS BIGINT)
          |    AS docs_intact
          |FROM per_doc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q97_cross_source_dups" ->
+      s"""WITH ${minhashPairsCtes()}
+         |SELECT least(da.source, db.source) AS s1,
+         |  greatest(da.source, db.source) AS s2,
+         |  count(*) AS n_pairs
+         |FROM np JOIN documents da ON np.a_id = da.doc_id
+         |  JOIN documents db ON np.b_id = db.doc_id
+         |GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
+
+    "q98_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         |verts AS (SELECT a_id AS id FROM np UNION SELECT b_id FROM np),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM np
+         |  UNION SELECT b_id, a_id FROM np),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+         |compx AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |cz AS (SELECT comp, count(*) AS sz FROM compx GROUP BY comp)
+         |SELECT sz, count(*) AS n_clusters FROM cz
+         |GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q80_incremental_dedup" ->
       s"""WITH delta AS (SELECT doc_id, source, text FROM documents
