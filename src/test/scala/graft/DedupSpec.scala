@@ -156,6 +156,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.connectedComponents(path.limit(0), algorithm = "star").count() === 0L)
   }
 
+  test("minhashLshPairsAcross finds only cross-set pairs, never within-side") {
+    // delta doc 100 ≈ corpus doc 1 (near-dup); corpus docs 1 and 2 are
+    // near-dups of each other but must NOT appear (within-corpus);
+    // delta docs 100 and 101 likewise (within-delta)
+    val mk = (id: Long, txt: String) => (id, txt)
+    val corpus = Seq(
+      mk(1L, base), mk(2L, base + " extra"),
+      mk(3L, "completely different content about spark shuffles and joins ok"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      mk(100L, base), mk(101L, base + " tail"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAcross(delta, corpus, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "expected the exact-duplicate cross pair")
+    assert(pairs.forall { case (d, c) => d >= 100L && c < 100L },
+      s"within-side pair leaked: $pairs")
+    assert(pairs.contains((100L, 1L)))
+  }
+
   test("bagOfWordsKey is order-insensitive, contentKey is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
       (Dedup.bagOfWordsKey(col("x")) === Dedup.bagOfWordsKey(col("y"))).as("bowEq"),
