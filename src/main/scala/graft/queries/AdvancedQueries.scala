@@ -330,6 +330,39 @@ object AdvancedQueries extends QueryPack {
         .orderBy(col("l_returnflag"), col("rk"))
     }),
 
+    // ---- Sessionized funnel conversion: 30-min-gap sessions
+    //      (gaps-and-islands), then per-session click→purchase
+    //      conversion — the composition of session assignment, offset
+    //      windows, and conditional aggregation every product-analytics
+    //      pipeline runs. Two window passes + one aggregation, all on
+    //      the user_id partitioning (ONE shuffle reused across both
+    //      windows and the session rollup). ----
+    "q99_session_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 30 * 60 * 1000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(when(col("event_type") === "click",
+            unix_millis(col("ts")))).as("first_click_ms"),
+          max(when(col("event_type") === "purchase",
+            unix_millis(col("ts")))).as("last_purchase_ms"))
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("first_click_ms").isNotNull, 1L).otherwise(0L))
+            .as("n_with_click"),
+          sum(when(col("first_click_ms").isNotNull &&
+            col("last_purchase_ms") >= col("first_click_ms"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .orderBy(col("cohort"))
+    }),
+
     // ---- lag/lead offset windows: per-user event-over-event value
     //      delta and next-event-type transition — the offset family
     //      (q06 rank / q07 frame / q89 range cover the others). Unique
@@ -404,6 +437,30 @@ object AdvancedQueries extends QueryPack {
         |  (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q99_session_funnel" ->
+      """WITH g AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts)::BIGINT AS ms,
+        |    lag(epoch_ms(ts)::BIGINT, 1) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |si AS (SELECT user_id, event_type, ms,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |ss AS (SELECT user_id, sess_id,
+        |    min(CASE WHEN event_type = 'click' THEN ms END) AS first_click_ms,
+        |    max(CASE WHEN event_type = 'purchase' THEN ms END) AS last_purchase_ms
+        |  FROM si GROUP BY user_id, sess_id)
+        |SELECT user_id % 10 AS cohort, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN first_click_ms IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_click,
+        |  CAST(sum(CASE WHEN first_click_ms IS NOT NULL
+        |    AND last_purchase_ms >= first_click_ms THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted
+        |FROM ss GROUP BY cohort ORDER BY cohort ASC NULLS FIRST""".stripMargin,
 
     "q95_lag_delta" ->
       """WITH t AS (SELECT event_type, value,
