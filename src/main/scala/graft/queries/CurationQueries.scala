@@ -252,6 +252,41 @@ object CurationQueries extends QueryPack {
           sum(col("thr")).as("sum_thr"),
           sum(when(col("keep"), col("thr")).otherwise(0L)).as("sum_thr_kept"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Data card: the one-row-per-source corpus summary a dataset
+    //      release ships — volume, duplication, language mix, length
+    //      and quality distribution. One scan + one aggregation; every
+    //      fractional metric is a ratio of INTEGER aggregates (counts,
+    //      basis-point quality floors, token sums) divided once, so the
+    //      card hash-compares exactly where naive float means would
+    //      drift with summation order. ----
+    "q100_data_card" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          Dedup.contentKey(col("text")).as("ck"),
+          (TextAnalysis.langId(col("text")) === "en").as("is_en"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+          floor(TextAnalysis.qualityScoreRaw(col("text")) * 10000)
+            .cast("long").as("qbp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ck")).as("n_distinct"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+          sum(col("toks")).as("sum_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("qbp")).as("sum_qbp"))
+        .select(col("source"), col("n_docs"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 4)
+            .as("dup_frac"),
+          round(col("n_en").cast("double") / col("n_docs"), 4).as("en_frac"),
+          round(col("sum_tokens").cast("double") / col("n_docs"), 2)
+            .as("avg_tokens"),
+          col("min_chars"), col("max_chars"),
+          round(col("sum_qbp").cast("double") / col("n_docs") / 10000.0, 4)
+            .as("avg_quality"))
+        .orderBy(col("source"))
     })
   )
 
@@ -359,6 +394,31 @@ object CurationQueries extends QueryPack {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(thr) AS BIGINT) AS sum_thr,
          |  CAST(sum(CASE WHEN keep THEN thr ELSE 0 END) AS BIGINT) AS sum_thr_kept
-         |FROM k GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM k GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q100_data_card" -> {
+      val (scoreCols, caseExpr) = TextQueries.predictedSql
+      s"""WITH sc AS (SELECT source, n_chars, md5(text) AS ck,
+         |    len(string_split(text, ' '))::BIGINT AS toks,
+         |    CAST(floor(${TextQueries.qualitySqlRaw} * 10000) AS BIGINT) AS qbp,
+         |$scoreCols
+         |  FROM documents),
+         |p AS (SELECT source, n_chars, ck, toks, qbp,
+         |    ($caseExpr) = 'en' AS is_en FROM sc),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |    count(DISTINCT ck) AS n_distinct,
+         |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_en,
+         |    sum(toks) AS sum_tokens,
+         |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |    sum(qbp) AS sum_qbp
+         |  FROM p GROUP BY source)
+         |SELECT source, n_docs,
+         |  round(1.0 - n_distinct::DOUBLE / n_docs, 4) AS dup_frac,
+         |  round(n_en::DOUBLE / n_docs, 4) AS en_frac,
+         |  round(sum_tokens::DOUBLE / n_docs, 2) AS avg_tokens,
+         |  min_chars, max_chars,
+         |  round(sum_qbp::DOUBLE / n_docs / 10000.0, 4) AS avg_quality
+         |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin
+    }
   )
 }
