@@ -38,8 +38,19 @@ object CurationQueries extends QueryPack {
   private val EvalMod = 97     // doc_id % EvalMod == 0 marks the held-out eval set
 
   /** The funnel's stage frames, shared by q61 (stage counts) and q72
-    * (downstream corpus build over the survivors). */
+    * (downstream corpus build over the survivors). Memoized per
+    * (session, dir): building nearKeep runs the connected-components
+    * driver loop (real jobs, not just a plan), so q61 and q72 must not
+    * each pay it — the cluster-scale analogue is materializing the
+    * survivor set once per snapshot. */
+  private val funnelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]
   private def funnelFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    funnelCache.getOrElseUpdate((s, d), buildFunnelFrames(s, d))
+
+  private def buildFunnelFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)

@@ -140,7 +140,18 @@ object SimilarityQueries extends QueryPack {
     * each probed at the home bucket plus the one-bit margin flip. All
     * projections/buckets are map-side expressions; the only shuffle is
     * the (t, bucket) equi-join against the BROADCAST probe set. */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  /** Candidate frames are memoized AND CACHED per (session, dir):
+    * q39/q57/q59 consume the LSH candidates and q50/q57/q59/q64/q69 the
+    * IVF candidates — without the cache each consumer re-runs the
+    * multi-table probe joins (~1 s each at sf0.1). */
+  private val candCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate((s, d, "lsh"), buildLshCandidates(s, d).cache())
+  private def ivfCandidates(s: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate((s, d, "ivf"), buildIvfCandidates(s, d).cache())
+
+  private def buildLshCandidates(s: SparkSession, d: String): DataFrame = {
     var e = prepped(s, d)
     for (t <- 0 until AnnTables) {
       e = e.withColumn(s"pj$t", array((0 until AnnPlanes).map(j =>
@@ -178,7 +189,7 @@ object SimilarityQueries extends QueryPack {
     * cells. Assignment is a pure map-side expression against the
     * literal centroid matrix (no crossJoin/window); the only shuffle is
     * the cell equi-join against the BROADCAST probe set. */
-  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+  private def buildIvfCandidates(s: SparkSession, d: String): DataFrame = {
     val cents = centroids(s, d)
     val e = prepped(s, d)
     val idx = e
