@@ -382,8 +382,84 @@ object StreamingQueries extends QueryPack {
         .start()
       q.awaitTermination()
       ss.table(mem).orderBy(col("n_name"))
+    }),
+
+    // ---- Streaming ingest dedup with bloom prefilter: new docs arrive
+    //      on a stream and are admitted only if their content key is
+    //      absent from the standing corpus. The corpus's keys fold into
+    //      ONE bloom (built once, shipped as a literal); per batch, the
+    //      bloom SPLITS the work map-side — bloom-miss rows are
+    //      DEFINITELY new (no false negatives) and skip the join
+    //      entirely, only bloom-hit rows pay the exact anti join that
+    //      removes false positives. At 100 TB that is the difference
+    //      between joining every arriving row against the corpus and
+    //      joining the few-% that might collide. Admitted set is exact,
+    //      so the oracle is the plain batch anti join; the split sizes
+    //      are recorded in [[lastBloomStats]] for the spec. ----
+    "q101_stream_bloom_dedup" -> ((s, d) => {
+      val fxDir = Fixtures.dir("blmdedup", d) { fx =>
+        val delta = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("source"), col("text"))
+        val in = new java.io.File(s"$fx/in"); in.mkdirs()
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val st = s"$fx/stage_$name"
+          df.coalesce(1).write.mode("overwrite").json(st)
+          val part = new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".json")).head
+          Files.move(part.toPath, new java.io.File(in, name).toPath)
+        }
+        stage(delta.filter(col("doc_id") % 2 === 0), "001_even.json")
+        stage(delta.filter(col("doc_id") % 2 === 1), "002_odd.json")
+      }
+      val tmp = Files.createTempDirectory("graft_blm_run_").toString
+      val ss = streamSession(s)
+      val corpusKeys = Tables.documents(ss, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(md5(col("text").cast("binary")).as("ck"))
+        .distinct().cache()
+      val bloom = graft.ext.BloomPrune.buildBloom(
+        corpusKeys, col("ck"), expectedItems = 1000000L)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("text", StringType)))
+      var (nDefinite, nMaybe) = (0L, 0L)
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val withCk = batch
+            .withColumn("ck", md5(col("text").cast("binary")))
+          val hit = graft.ext.BloomPrune.mightContain(bloom, col("ck"))
+          val definiteNew = withCk.filter(!hit)
+          val confirmedNew = withCk.filter(hit)
+            .join(corpusKeys, Seq("ck"), "left_anti")
+          nDefinite += definiteNew.count()
+          nMaybe += withCk.filter(hit).count()
+          definiteNew.unionByName(confirmedNew)
+            .select(col("doc_id"), col("source"))
+            .write.mode("append").parquet(s"$tmp/admitted")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      lastBloomStats("q101_stream_bloom_dedup") = (nDefinite, nMaybe)
+      val totals = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
+      val adm = ss.read.parquet(s"$tmp/admitted")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      totals.join(adm, Seq("source"), "left")
+        .na.fill(0L, Seq("n_admitted"))
+        .orderBy(col("source"))
     })
   )
+
+  /** (definitely-new rows that skipped the join, bloom-hit rows that
+    * paid it) per bloom-dedup drain — the work-split the bloom buys,
+    * asserted in StreamingSpec. */
+  val lastBloomStats = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long)]
 
   override def oracles: Map[String, String] = Map(
     "q55_stream_stream_join" ->
@@ -438,6 +514,19 @@ object StreamingQueries extends QueryPack {
         |  max(version) AS max_version
         |FROM m GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q101_stream_bloom_dedup" ->
+      """WITH delta AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 7 = 3),
+        |adm AS (SELECT d.source FROM delta d
+        |  WHERE md5(d.text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 7 != 3)),
+        |a2 AS (SELECT source, count(*) AS n_admitted FROM adm GROUP BY source),
+        |t AS (SELECT source, count(*) AS n_delta FROM delta GROUP BY source)
+        |SELECT t.source, t.n_delta,
+        |  CAST(coalesce(a2.n_admitted, 0) AS BIGINT) AS n_admitted
+        |FROM t LEFT JOIN a2 ON t.source = a2.source
+        |ORDER BY t.source ASC NULLS FIRST""".stripMargin,
 
     "q93_stream_static_join" ->
       """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value

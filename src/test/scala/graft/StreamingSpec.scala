@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.StreamingQueries
 import graft.sinks.{KafkaJsonSink, TopicRouter}
 import graft.streaming.{FileLifecycle, FilePipeline, FilePipelineConfig}
 import org.apache.hadoop.conf.Configuration
@@ -224,5 +225,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val distinctIds = Tables.events(spark, d).select("event_id").distinct().count()
     assert(d48.rowsUpdatedTotal === distinctIds)
     assert(d48.shufflePartitions === 8L)
+  }
+
+  test("q101 bloom prefilter splits arrivals: misses skip the join, admitted set is exact") {
+    val d = "/root/testdata/sf0.001"
+    val res = StreamingQueries.queries("q101_stream_bloom_dedup")(spark, d)
+      .collect()
+    val (nDefinite, nMaybe) =
+      StreamingQueries.lastBloomStats("q101_stream_bloom_dedup")
+    val deltaTotal = Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 3).count()
+    // every arriving row lands on exactly one side of the split
+    assert(nDefinite + nMaybe === deltaTotal)
+    // the split does real work: most arrivals are new docs that the bloom
+    // clears map-side, so only a minority pays the exact anti join
+    assert(nDefinite > nMaybe,
+      s"bloom cleared only $nDefinite of $deltaTotal rows ($nMaybe joined)")
+    // admitted counts are exact (≤ delta per source, and globally the
+    // bloom's false positives were all removed by the anti join)
+    val admitted = res.map(_.getLong(2)).sum
+    val exactNew = deltaTotal - {
+      val corpus = Tables.documents(spark, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(md5(col("text").cast("binary")).as("ck")).distinct()
+      Tables.documents(spark, d).filter(col("doc_id") % 7 === 3)
+        .withColumn("ck", md5(col("text").cast("binary")))
+        .join(corpus, Seq("ck"), "left_semi").count()
+    }
+    assert(admitted === exactNew)
   }
 }
