@@ -181,11 +181,54 @@ object TextQueries extends QueryPack {
           max(col("ct")).cast("long").as("max_chunk_tokens"),
           countDistinct(col("ch")).as("n_distinct_chunks"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Boilerplate suppression by corpus n-gram frequency: the
+    //      CCNet-style pass that strips headers/footers/templates
+    //      repeated across a crawl. An ABSOLUTE document-frequency bar
+    //      doesn't survive scale-up (this corpus's 3-gram space
+    //      saturates: df≥5 covers 1% of grams at sf0.01 but 95% at
+    //      sf0.1), so boilerplate is RANK-based — the top-K grams by
+    //      df, deterministic via the (df DESC, gram ASC) tie-break.
+    //      Shape at scale: explode → hash-agg df (map-side partials
+    //      collapse the hot grams, so gram skew never reaches the
+    //      reduce side) → top-K as TakeOrdered (no global sort
+    //      materialization) → the K-row dictionary BROADCASTS to a
+    //      map-side coverage join → per-doc then per-source rollups.
+    //      Two linear shuffles; the gram frame is recomputed for the
+    //      coverage pass rather than cached — at corpus scale the
+    //      exploded grams dwarf memory and a second scan is cheaper.
+    //      Flag bar ≥20% coverage is integer-exact (5*nb >= ng). ----
+    "q102_boilerplate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.distinctShingles(col("text"), BoilerN)).as("g"))
+      val top = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("g")).limit(BoilerTopK)
+      grams
+        .join(broadcast(top.select(col("g"), lit(1L).as("hit"))),
+          Seq("g"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("ng"),
+          coalesce(sum(col("hit")), lit(0L)).as("nb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nb") * 5 >= col("ng"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("nb")).as("sum_boiler"),
+          sum(col("ng")).as("sum_grams"))
+        .withColumn("boiler_frac",
+          round(col("sum_boiler").cast("double") / col("sum_grams"), 4))
+        .orderBy(col("source"))
     })
   )
 
   private val ChunkW = 64      // tokens per RAG chunk
   private val ChunkStride = 48 // stride (overlap = ChunkW - ChunkStride)
+
+  private val BoilerN = 3      // boilerplate shingle width (tokens)
+  private val BoilerTopK = 500 // grams suppressed, by (df DESC, gram ASC)
 
   // PII patterns — no capturing groups (group 0 extraction), Java-regex
   // and RE2 compatible so Spark and DuckDB match identical spans.
@@ -370,6 +413,28 @@ object TextQueries extends QueryPack {
          |  CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens,
          |  CAST(max(ct) AS BIGINT) AS max_chunk_tokens,
          |  count(DISTINCT ch) AS n_distinct_chunks
-         |FROM hh GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM hh GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q102_boilerplate" ->
+      s"""WITH dd AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, unnest(list_distinct(
+         |    CASE WHEN len(tk) >= $BoilerN THEN list_transform(
+         |      generate_series(1, len(tk) - ${BoilerN - 1}),
+         |      i -> array_to_string(tk[i:i+${BoilerN - 1}], ' '))
+         |    ELSE []::VARCHAR[] END)) AS g FROM dd),
+         |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+         |top AS (SELECT g FROM df ORDER BY df DESC, g LIMIT $BoilerTopK),
+         |pd AS (SELECT sh.doc_id, sh.source, count(*) AS ng,
+         |    sum(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END) AS nb
+         |  FROM sh LEFT JOIN top ON sh.g = top.g
+         |  GROUP BY sh.doc_id, sh.source)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN nb * 5 >= ng THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(sum(nb) AS BIGINT) AS sum_boiler,
+         |  CAST(sum(ng) AS BIGINT) AS sum_grams,
+         |  round(sum(nb)::DOUBLE / sum(ng), 4) AS boiler_frac
+         |FROM pd GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }
