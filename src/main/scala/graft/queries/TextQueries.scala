@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.ext.{Dedup, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -221,6 +221,57 @@ object TextQueries extends QueryPack {
         .withColumn("boiler_frac",
           round(col("sum_boiler").cast("double") / col("sum_grams"), 4))
         .orderBy(col("source"))
+    }),
+
+    // ---- BM25 ranked retrieval: the serving-side query every index
+    //      build (q73/q86/IndexStore) exists for. Fixed 3-term query;
+    //      idf is the RATIONAL BM25 variant (N-df+0.5)/(df+0.5) — per
+    //      q75's convention no transcendental enters the score, so it
+    //      hashes bit-identically across engines; both sides evaluate
+    //      the identical double expression tree (casts and
+    //      associativity matched to the oracle SQL literally).
+    //      Shape at scale: one corpus scan computes per-doc tf/dl
+    //      map-side; one tiny stats agg (N, avgdl, the 3 dfs) comes
+    //      back as plan-time literals (the q75/trainKmeans pattern);
+    //      the scoring pass is pure per-row codegen, and the top-15 is
+    //      TakeOrdered — no global sort, no windows over the corpus.
+    //      Rank ties break on (round(score,6) DESC, doc_id). ----
+    "q103_bm25_search" -> ((s, d) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      def tf(term: String) =
+        size(filter(tk, x => x === lit(term))).cast("long")
+      val baseCols = Seq(col("doc_id"), col("source"),
+        size(tk).cast("long").as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }
+      val scored0 = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(baseCols: _*)
+      val statCols = Seq(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val st = scored0.agg(statCols.head, statCols.tail: _*).head()
+      val n = st.getAs[Long]("n"); val avgdl = st.getAs[Double]("avgdl")
+      def contrib(i: Int): Column = {
+        val df = st.getAs[Long](s"df$i")
+        val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        val tfd = col(s"tf$i").cast("double")
+        lit(idf) * (tfd * lit(2.2) / (tfd + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+      }
+      val hits = scored0
+        .filter(Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+        .withColumn("score", Bm25Terms.indices.map(contrib).reduce(_ + _))
+        // raw-score ordering: both engines build the identical double
+        // expression tree, so the bits match and no round() (itself the
+        // cross-engine hazard — see verify skill) enters the sort key
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+      hits.withColumn("rk", row_number().over(Window.orderBy(
+          col("score").desc, col("doc_id"))).cast("int"))
+        .select(col("rk"), col("doc_id"), col("source"),
+          round(col("score"), 4).as("bm25"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -229,6 +280,8 @@ object TextQueries extends QueryPack {
 
   private val BoilerN = 3      // boilerplate shingle width (tokens)
   private val BoilerTopK = 500 // grams suppressed, by (df DESC, gram ASC)
+
+  private val Bm25Terms = Seq("spark", "join", "vector") // fixed query
 
   // PII patterns — no capturing groups (group 0 extraction), Java-regex
   // and RE2 compatible so Spark and DuckDB match identical spans.
@@ -435,6 +488,33 @@ object TextQueries extends QueryPack {
          |  CAST(sum(nb) AS BIGINT) AS sum_boiler,
          |  CAST(sum(ng) AS BIGINT) AS sum_grams,
          |  round(sum(nb)::DOUBLE / sum(ng), 4) AS boiler_frac
-         |FROM pd GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+         |FROM pd GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q103_bm25_search" -> {
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"  len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i"
+      }.mkString(",\n")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"  sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i")
+        .mkString(",\n")
+      val contribs = Bm25Terms.indices.map(i =>
+        s"""((st.n - st.df$i)::DOUBLE + 0.5) / (st.df$i::DOUBLE + 0.5)
+           |     * (tf$i::DOUBLE * 2.2 / (tf$i::DOUBLE + 1.2 *
+           |        (0.25 + 0.75 * (dl::DOUBLE / st.avgdl))))""".stripMargin)
+        .mkString("\n   + ")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, len(tk)::BIGINT AS dl,
+         |$tfCols FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+         |$dfCols FROM s),
+         |sc AS (SELECT doc_id, source,
+         |   $contribs AS score
+         |  FROM s, st WHERE ${Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")} > 0),
+         |r AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+         |    doc_id, source, round(score, 4) AS bm25 FROM sc)
+         |SELECT rk::INT AS rk, doc_id, source, bm25 FROM r
+         |WHERE rk <= 15 ORDER BY rk""".stripMargin
+    }
   )
 }
