@@ -52,6 +52,35 @@ object Multimodal {
         width = (16 + h % 1024).toInt,
         height = (16 + (h >> 10) % 1024).toInt)
     }
+
+    /** md5 of raw bytes as the 32-char hex string. */
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map(b => f"$b%02x").mkString
+
+    /** STUB perceptual hash: a real implementation decodes, downscales
+      * to a small grayscale grid, and takes the difference hash (dHash
+      * — bit i set iff pixel i is brighter than pixel i+1). Fake
+      * pixels: 61 hex nibbles of md5(content) ++ md5(content ++ "1"),
+      * a deterministic 0..15 "grayscale" grid the oracle recomputes.
+      * `reenc` models a LOSSY RE-ENCODE: it perturbs pixels 7 and 31
+      * by +1 (mod 16), which moves at most 2 dHash bits per pixel —
+      * so a re-encoded copy sits within hamming distance 4 of its
+      * original, the invariant the banding below relies on. 60 bits
+      * keeps the packed hash positive (the engine-wide convention). */
+    def dhashStub(content: Array[Byte], reenc: Int): Long = {
+      val hex = md5Hex(content) + md5Hex(content ++ "1".getBytes("UTF-8"))
+      val px = new Array[Int](61)
+      var i = 0
+      while (i < 61) { px(i) = Character.digit(hex.charAt(i), 16); i += 1 }
+      if (reenc != 0) {
+        px(7) = (px(7) + reenc) % 16
+        px(31) = (px(31) + reenc) % 16
+      }
+      var h = 0L; i = 0
+      while (i < 60) { if (px(i) > px(i + 1)) h |= (1L << i); i += 1 }
+      h
+    }
   }
 
   /** Per-partition batch decode: the `mapInPandas`-shaped plumbing.

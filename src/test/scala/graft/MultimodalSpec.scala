@@ -41,4 +41,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2)))
     assert(frames.map(_.frame_hash).distinct.length === 6)
   }
+
+  test("dhashStub: re-encode moves <=4 bits, none in bands 1 and 3") {
+    // the q104 banding guarantee: perturbing pixels 7 and 31 can only
+    // touch dhash bits {6,7} and {30,31} — all inside bands 0 (bits
+    // 0-14) and 2 (bits 30-44), so bands 1 and 3 always match and a
+    // re-encoded copy is always a candidate of its original
+    val band13Mask = (32767L << 15) | (32767L << 45)
+    (0 until 200).foreach { i =>
+      val bytes = s"payload $i with some content".getBytes("UTF-8")
+      val h0 = Multimodal.MediaCodec.dhashStub(bytes, 0)
+      val h1 = Multimodal.MediaCodec.dhashStub(bytes, 1)
+      assert(java.lang.Long.bitCount(h0 ^ h1) <= 4)
+      assert(((h0 ^ h1) & band13Mask) === 0L)
+      assert(h0 >= 0L && h1 >= 0L) // 60-bit convention: always positive
+    }
+  }
 }
