@@ -126,4 +126,30 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "filter did not push into the parquet scan")
     assert(!p.contains("l_comment"), "projection reads columns it never uses")
   }
+
+  test("q102: top-K gram dictionary is TakeOrdered and broadcasts into the coverage join") {
+    val p = plan("q102_boilerplate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K grams materialized via global sort instead of TakeOrdered")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 500-row gram dictionary should broadcast, not shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"), "coverage join shuffles the grams")
+  }
+
+  test("q103: BM25 top-15 is TakeOrdered over a join-free scoring scan") {
+    val p = plan("q103_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-15 ranked via global sort instead of TakeOrdered")
+    assert(!p.contains("Join"), "scoring pass should be join-free " +
+      "(stats enter as plan-time literals)")
+  }
+
+  test("q104: media dedup pairs come from bucket aggregation, never a hash self-join") {
+    val p = plan("q104_media_dedup")
+    // candidate generation is groupBy(band,v)+collect_list; the only
+    // joins are the two id-keyed verify joins against the hashed frame
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated into an all-pairs join")
+  }
 }
