@@ -336,42 +336,84 @@ object Dedup {
   def minhashLshPairsAcross(delta: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def prep(docs: DataFrame): DataFrame = {
-      val par = docs.sparkSession.sparkContext.defaultParallelism
-      docs.repartition(par)
-        .withColumn("shs", distinctShingles(col(textCol), shingleN))
-        .withColumn("hs", array_distinct(
-          transform(col("shs"), s => Hashing.md5Long(s))))
-        .select(col(idCol).as("id"), col("hs"))
-        .cache()
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    buildNearDupIndex(corpus, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucket).probe(delta, idCol, textCol, shingleN)
+
+  /** (id, hs) shingle-hash frame, cached — the shared prep of every
+    * MinHash path (arrays feed both the signature lineage and the
+    * verify joins; without materialization each branch re-hashes). */
+  private def shingleHashFrame(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .withColumn("shs", distinctShingles(col(textCol), shingleN))
+      .withColumn("hs", array_distinct(
+        transform(col("shs"), s => Hashing.md5Long(s))))
+      .select(col(idCol).as("id"), col("hs"))
+      .cache()
+  }
+
+  /** (id, band, bh) LSH band rows of a shingle-hash frame. */
+  private def bandRowsOf(sh: DataFrame, k: Int, bands: Int): DataFrame = sh
+    .filter(size(col("hs")) > 0)
+    .withColumn("bh0", transform(col("hs"), x => x % MinhashP))
+    .select(col("id"), minhashSignature(col("bh0"), k).as("sig"))
+    .select(col("id"),
+      posexplode(lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
+
+  /** A standing MinHash-LSH near-dup index over a corpus snapshot: the
+    * cached shingle-hash frame plus the hot-bucket-guarded band index.
+    * Build ONCE per snapshot, [[probe]] per delta batch — the
+    * streaming-admission shape (q105): each probe pays O(|delta|)
+    * signature work plus a bucket equi-join against the standing band
+    * rows, never a corpus re-hash. At cluster scale both member frames
+    * are tables persisted with the snapshot; the cache is the
+    * in-session analogue. */
+  final case class NearDupIndex private[ext] (hashes: DataFrame,
+      guardedBands: DataFrame, k: Int, bands: Int, threshold: Double) {
+
+    /** Near-dup pairs (d_id, c_id, jacc ≥ threshold) between `delta`
+      * and the indexed corpus (never within either side). */
+    def probe(delta: DataFrame, idCol: String, textCol: String,
+        shingleN: Int = 3): DataFrame = {
+      val shD = shingleHashFrame(delta, idCol, textCol, shingleN)
+      val cand = bandRowsOf(shD, k, bands)
+        .select(col("band"), col("bh"), col("id").as("d_id"))
+        .join(guardedBands.select(col("band"), col("bh"),
+          col("id").as("c_id")), Seq("band", "bh"))
+        .select(col("d_id"), col("c_id")).distinct()
+      cand
+        .join(shD.select(col("id"), col("hs").as("ha")),
+          col("d_id") === col("id")).drop("id")
+        .join(hashes.select(col("id"), col("hs").as("hb")),
+          col("c_id") === col("id")).drop("id")
+        .withColumn("jacc", jaccard(col("ha"), col("hb")))
+        .filter(col("jacc") >= threshold)
+        .select(col("d_id"), col("c_id"), round(col("jacc"), 4).as("jacc"))
     }
-    def bandRows(sh: DataFrame): DataFrame = sh
-      .filter(size(col("hs")) > 0)
-      .withColumn("bh0", transform(col("hs"), x => x % MinhashP))
-      .select(col("id"), minhashSignature(col("bh0"), k).as("sig"))
-      .select(col("id"),
-        posexplode(lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
-    val shD = prep(delta)
-    val shC = prep(corpus)
-    val bandsC = bandRows(shC)
+
+    /** Release the cached member frames (a dropped snapshot). */
+    def unpersist(): Unit = { hashes.unpersist(); guardedBands.unpersist() }
+  }
+
+  /** Builds the [[NearDupIndex]] for `corpus`. The hot-bucket guard
+    * applies to CORPUS bucket occupancy only: a probe against a capped
+    * index bucket is a bounded lookup, and a corpus bucket of size 1
+    * must still be probe-able (unlike the self-join case, where
+    * singleton buckets pair with nothing). */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): NearDupIndex = {
+    val shC = shingleHashFrame(corpus, idCol, textCol, shingleN)
+    val bandsC = bandRowsOf(shC, k, bands)
     val guarded = bandsC.join(
       bandsC.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") <= maxBucket)
         .select(col("band"), col("bh")),
-      Seq("band", "bh"))
-    val cand = bandRows(shD).select(col("band"), col("bh"), col("id").as("d_id"))
-      .join(guarded.select(col("band"), col("bh"), col("id").as("c_id")),
-        Seq("band", "bh"))
-      .select(col("d_id"), col("c_id")).distinct()
-    cand
-      .join(shD.select(col("id"), col("hs").as("ha")), col("d_id") === col("id"))
-      .drop("id")
-      .join(shC.select(col("id"), col("hs").as("hb")), col("c_id") === col("id"))
-      .drop("id")
-      .withColumn("jacc", jaccard(col("ha"), col("hb")))
-      .filter(col("jacc") >= threshold)
-      .select(col("d_id"), col("c_id"), round(col("jacc"), 4).as("jacc"))
+      Seq("band", "bh")).cache()
+    NearDupIndex(shC, guarded, k, bands, threshold)
   }
 }

@@ -377,7 +377,7 @@ object DedupQueries extends QueryPack {
     * probe the corpus's band index; guard on CORPUS bucket occupancy
     * only (mirrors [[Dedup.minhashLshPairsAcross]]). Ends in `ndx`
     * (d_id of delta docs with a verified corpus near-dup). */
-  private def crossMinhashCtes: String =
+  private[queries] def crossMinhashCtes: String =
     s"""${ShinglesCte("esv", "n")},
        |${hsCte("n")},
        |${bandsCtes("n")},

@@ -452,8 +452,76 @@ object StreamingQueries extends QueryPack {
       totals.join(adm, Seq("source"), "left")
         .na.fill(0L, Seq("n_admitted"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Streaming NEAR-dup admission: q101's exact-key gate upgraded
+    //      to MinHash-LSH. The standing corpus folds ONCE into a
+    //      [[graft.ext.Dedup.NearDupIndex]] (cached shingle hashes +
+    //      guarded band rows — at cluster scale, tables persisted with
+    //      the snapshot); each arriving micro-batch PROBES it:
+    //      O(|batch|) signature work map-side, a bucket equi-join
+    //      against the standing band index, jaccard-verify, and a
+    //      left-anti on the rejected ids. The corpus is never
+    //      re-hashed, and batch latency is independent of corpus size
+    //      except through index bucket occupancy (bounded by the
+    //      hot-bucket guard). Oracle: the batch cross-corpus MinHash
+    //      (q80's CTE mirror) — admission is exactly "no verified
+    //      near-dup pair against the corpus". ----
+    "q105_stream_neardup_admission" -> ((s, d) => {
+      val fxDir = Fixtures.dir("nddedup", d) { fx =>
+        val delta = Tables.documents(s, d).filter(col("doc_id") % 9 === 4)
+          .select(col("doc_id"), col("source"), col("text"))
+        val in = new java.io.File(s"$fx/in"); in.mkdirs()
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val st = s"$fx/stage_$name"
+          df.coalesce(1).write.mode("overwrite").json(st)
+          val part = new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".json")).head
+          Files.move(part.toPath, new java.io.File(in, name).toPath)
+        }
+        stage(delta.filter(col("doc_id") % 2 === 0), "001_even.json")
+        stage(delta.filter(col("doc_id") % 2 === 1), "002_odd.json")
+      }
+      val tmp = Files.createTempDirectory("graft_nd_run_").toString
+      val ss = streamSession(s)
+      val idx = graft.ext.Dedup.buildNearDupIndex(
+        Tables.documents(ss, d).filter(col("doc_id") % 9 =!= 4),
+        "doc_id", "text")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("text", StringType)))
+      var nRejected = 0L
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rejected = idx.probe(batch, "doc_id", "text")
+            .select(col("d_id").as("doc_id")).distinct()
+          nRejected += rejected.count()
+          batch.join(rejected, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"))
+            .write.mode("append").parquet(s"$tmp/admitted")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      idx.unpersist()
+      lastNearDupStats("q105_stream_neardup_admission") = nRejected
+      val totals = Tables.documents(s, d).filter(col("doc_id") % 9 === 4)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
+      val adm = ss.read.parquet(s"$tmp/admitted")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+      totals.join(adm, Seq("source"), "left")
+        .na.fill(0L, Seq("n_admitted"))
+        .orderBy(col("source"))
     })
   )
+
+  /** Rejected-doc count of the last near-dup admission drain. */
+  val lastNearDupStats = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
 
   /** (definitely-new rows that skipped the join, bloom-hit rows that
     * paid it) per bloom-dedup drain — the work-split the bloom buys,
@@ -514,6 +582,21 @@ object StreamingQueries extends QueryPack {
         |  max(version) AS max_version
         |FROM m GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q105_stream_neardup_admission" ->
+      s"""WITH esv AS (SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id % 9 = 4),
+         |corpus AS (SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id % 9 != 4),
+         |${DedupQueries.crossMinhashCtes},
+         |a2 AS (SELECT e.source, count(*) AS n_admitted FROM esv e
+         |  WHERE e.doc_id NOT IN (SELECT d_id FROM ndx)
+         |  GROUP BY e.source),
+         |t AS (SELECT source, count(*) AS n_delta FROM esv GROUP BY source)
+         |SELECT t.source, t.n_delta,
+         |  CAST(coalesce(a2.n_admitted, 0) AS BIGINT) AS n_admitted
+         |FROM t LEFT JOIN a2 ON t.source = a2.source
+         |ORDER BY t.source ASC NULLS FIRST""".stripMargin,
 
     "q101_stream_bloom_dedup" ->
       """WITH delta AS (SELECT doc_id, source, text FROM documents

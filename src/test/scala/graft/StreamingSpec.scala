@@ -254,4 +254,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(admitted === exactNew)
   }
+
+  test("q105 near-dup admission conserves the delta: admitted + rejected = arrivals") {
+    val d = "/root/testdata/sf0.001"
+    val res = StreamingQueries
+      .queries("q105_stream_neardup_admission")(spark, d).collect()
+    val nDelta = res.map(_.getLong(1)).sum
+    val nAdmitted = res.map(_.getLong(2)).sum
+    val nRejected =
+      StreamingQueries.lastNearDupStats("q105_stream_neardup_admission")
+    // every arriving doc is either admitted once or rejected once,
+    // across both micro-batches — no drops, no double-counting
+    assert(nAdmitted + nRejected === nDelta)
+    assert(nDelta === Tables.documents(spark, d)
+      .filter(col("doc_id") % 9 === 4).count())
+  }
 }
