@@ -340,18 +340,21 @@ object Dedup {
     buildNearDupIndex(corpus, idCol, textCol, shingleN, k, bands,
       threshold, maxBucket).probe(delta, idCol, textCol, shingleN)
 
-  /** (id, hs) shingle-hash frame, cached — the shared prep of every
-    * MinHash path (arrays feed both the signature lineage and the
-    * verify joins; without materialization each branch re-hashes). */
+  /** (id, hs) shingle-hash frame — the shared prep of every MinHash
+    * path (arrays feed both the signature lineage and the verify
+    * joins). `cache=true` materializes it (corpus-side: built once,
+    * referenced by every probe); `cache=false` recomputes per branch
+    * (delta-side: ≤2× map-side hashing of a small batch beats leaving
+    * an unmanaged cached frame behind per micro-batch). */
   private def shingleHashFrame(docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
+      textCol: String, shingleN: Int, cache: Boolean): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par)
+    val sh = docs.repartition(par)
       .withColumn("shs", distinctShingles(col(textCol), shingleN))
       .withColumn("hs", array_distinct(
         transform(col("shs"), s => Hashing.md5Long(s))))
       .select(col(idCol).as("id"), col("hs"))
-      .cache()
+    if (cache) sh.cache() else sh
   }
 
   /** (id, band, bh) LSH band rows of a shingle-hash frame. */
@@ -377,7 +380,8 @@ object Dedup {
       * and the indexed corpus (never within either side). */
     def probe(delta: DataFrame, idCol: String, textCol: String,
         shingleN: Int = 3): DataFrame = {
-      val shD = shingleHashFrame(delta, idCol, textCol, shingleN)
+      val shD = shingleHashFrame(delta, idCol, textCol, shingleN,
+        cache = false)
       val cand = bandRowsOf(shD, k, bands)
         .select(col("band"), col("bh"), col("id").as("d_id"))
         .join(guardedBands.select(col("band"), col("bh"),
@@ -406,7 +410,8 @@ object Dedup {
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket): NearDupIndex = {
-    val shC = shingleHashFrame(corpus, idCol, textCol, shingleN)
+    val shC = shingleHashFrame(corpus, idCol, textCol, shingleN,
+      cache = true)
     val bandsC = bandRowsOf(shC, k, bands)
     val guarded = bandsC.join(
       bandsC.groupBy(col("band"), col("bh"))

@@ -444,6 +444,7 @@ object StreamingQueries extends QueryPack {
         .option("checkpointLocation", s"$tmp/chk")
         .start()
       q.awaitTermination()
+      corpusKeys.unpersist() // drained — don't leak across bench re-runs
       lastBloomStats("q101_stream_bloom_dedup") = (nDefinite, nMaybe)
       val totals = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
         .groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
