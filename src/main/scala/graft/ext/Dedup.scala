@@ -179,6 +179,30 @@ object Dedup {
       s"unknown connected-components algorithm '$other' (minlabel|star)")
   }
 
+  /** Incremental connected components: fold a batch of new edges into
+    * STANDING labels without re-traversing the accumulated graph — the
+    * maintenance shape of a dedup cluster table under continuous
+    * ingest. Each standing (id → comp) row enters the propagation as a
+    * CONTRACTION EDGE: the old component is already a star around its
+    * min-id label, so label flow crosses it in one hop and the
+    * iteration count is bounded by the DELTA graph's diameter, not the
+    * accumulated graph's. Exact, not approximate: replacing a
+    * component's internal edges with its star preserves connectivity,
+    * so the result equals a cold run over (all old edges ∪ newEdges) —
+    * the identity DedupSpec asserts. `oldLabels` is (id, comp) — at
+    * cluster scale, the persisted label table of the previous
+    * snapshot; `newEdges` is (a_id, b_id). Returns (id, comp). */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+      newEdges: DataFrame, maxIter: Int = 15,
+      algorithm: String = "minlabel"): DataFrame = {
+    val contraction = oldLabels
+      .select(col("id").as("a_id"), col("comp").as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    connectedComponents(
+      newEdges.select(col("a_id"), col("b_id")).unionByName(contraction),
+      maxIter, algorithm)
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def minLabelComponents(edges: DataFrame, maxIter: Int): DataFrame = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.ext.{Dedup, Hashing, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star deduplication operators over `documents` (SURVEY.md §0):
@@ -100,6 +100,34 @@ object DedupQueries extends QueryPack {
       Dedup.connectedComponents(corpusPairs(s, d).select(col("a_id"), col("b_id")))
         .groupBy(col("comp").as("cluster"))
         .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- Incremental cluster maintenance: the standing dedup-cluster
+    //      table updated by a delta batch WITHOUT re-traversing the
+    //      accumulated graph. The near-dup edge set splits on delta
+    //      membership (doc_id % 9 = 4, the q105 ingest cohort): edges
+    //      between standing docs collapse into yesterday's labels
+    //      (here recomputed; at cluster scale, read from the snapshot's
+    //      label table), and only delta-touching edges propagate —
+    //      standing labels enter as contraction edges, so iterations
+    //      are bounded by the DELTA graph's diameter. The result is
+    //      EXACT (star-replacement preserves connectivity; DedupSpec
+    //      asserts equality with a cold run), which is why the oracle
+    //      is the plain transitive closure over the full graph.
+    //      n_new_docs shows which clusters the batch grew. ----
+    "q106_incremental_cc" -> ((s, d) => {
+      val pairs = corpusPairs(s, d).select(col("a_id"), col("b_id"))
+      def inDelta(c: Column) = c % 9 === 4
+      val oldEdges = pairs
+        .filter(!inDelta(col("a_id")) && !inDelta(col("b_id")))
+      val deltaEdges = pairs
+        .filter(inDelta(col("a_id")) || inDelta(col("b_id")))
+      val standing = Dedup.connectedComponents(oldEdges)
+      Dedup.connectedComponentsIncremental(standing, deltaEdges)
+        .groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(inDelta(col("id")), 1L).otherwise(0L)).as("n_new_docs"))
         .orderBy(col("cluster"))
     }),
 
@@ -418,6 +446,23 @@ object DedupQueries extends QueryPack {
          |compx AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
          |SELECT comp AS cluster, count(*) AS n_docs FROM compx
          |GROUP BY comp ORDER BY cluster""".stripMargin,
+
+    // the incremental engine path must equal the batch transitive
+    // closure over the full graph — the oracle IS that batch run
+    "q106_incremental_cc" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         |verts AS (SELECT a_id AS id FROM np UNION SELECT b_id FROM np),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM np
+         |  UNION SELECT b_id, a_id FROM np),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+         |compx AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS cluster, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN id % 9 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new_docs
+         |FROM compx GROUP BY comp ORDER BY cluster""".stripMargin,
 
     "q36_simhash" -> {
       val bitExprs = (0 until SimBits).map(b =>

@@ -92,6 +92,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.connectedComponents(edges.limit(0)).count() === 0L)
   }
 
+  test("incremental CC equals cold-start, including a delta edge merging two standing components") {
+    // standing graph: components {1,2,3} and {10,11}, {20,21}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val standing = Dedup.connectedComponents(oldEdges)
+    // delta: a brand-new pair (30,31), a new doc joining {10,11}, and
+    // an edge MERGING components {1,2,3} and {20,21}
+    val deltaEdges = Seq((30L, 31L), (12L, 11L), (21L, 3L))
+      .toDF("a_id", "b_id")
+    val inc = Dedup.connectedComponentsIncremental(standing, deltaEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Dedup.connectedComponents(
+        oldEdges.unionByName(deltaEdges)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === cold)
+    assert(inc(21L) === 1L && inc(20L) === 1L) // merged under global min
+    assert(inc(12L) === 10L && inc(31L) === 30L)
+  }
+
   test("simhash banding: 15-bit chunks shrink candidates vs 8-bit, same verified pairs") {
     // 1,500 distinct random-token docs + 10 planted near-dup clones.
     // With 8-bit chunks the keyspace is 4×256 buckets → heavy random
