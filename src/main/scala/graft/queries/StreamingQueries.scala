@@ -517,6 +517,76 @@ object StreamingQueries extends QueryPack {
       totals.join(adm, Seq("source"), "left")
         .na.fill(0L, Seq("n_admitted"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Dead-letter routing: the failure-handling half of ingest.
+    //      Arriving JSON parses in PERMISSIVE mode with a
+    //      _corrupt_record column; per micro-batch, parsed rows flow to
+    //      the main sink and malformed lines land RAW in a dead-letter
+    //      store (provenance preserved for replay after a parser fix) —
+    //      the pipeline never stalls on bad input and never silently
+    //      drops it; the two sinks partition every arrival exactly.
+    //      Fixture corruption is deterministic (doc_id % 3 = 1 lines
+    //      truncated mid-string, interleaved with good lines in the
+    //      same files), so the oracle recomputes both sides of the
+    //      split from the documents table. ----
+    "q107_dead_letter" -> ((s, d) => {
+      val fxDir = Fixtures.dir("deadletter", d) { fx =>
+        val delta = Tables.documents(s, d).filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"), col("source"), col("text"))
+        val in = new java.io.File(s"$fx/in"); in.mkdirs()
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val lines = df
+            .withColumn("value", when(col("doc_id") % 3 === 1,
+              // truncated mid-string — unparseable, whole row corrupt
+              concat(lit("{\"doc_id\":"), col("doc_id"),
+                lit(",\"source\":\""), col("source"),
+                lit("\",\"text\":\""), substring(col("text"), 1, 20)))
+              .otherwise(to_json(struct(col("doc_id"), col("source"),
+                col("text")))))
+            .select(col("value"))
+          val st = s"$fx/stage_$name"
+          lines.coalesce(1).write.mode("overwrite").text(st)
+          val part = new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".txt")).head
+          Files.move(part.toPath, new java.io.File(in, name).toPath)
+        }
+        stage(delta.filter(col("doc_id") % 2 === 0), "001_even.json")
+        stage(delta.filter(col("doc_id") % 2 === 1), "002_odd.json")
+      }
+      val tmp = Files.createTempDirectory("graft_dl_run_").toString
+      val ss = streamSession(s)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("text", StringType),
+        StructField("_corrupt_record", StringType)))
+      val q = ss.readStream.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val b = batch.cache()
+          try {
+            b.filter(col("_corrupt_record").isNull)
+              .select(col("doc_id"), col("source"))
+              .write.mode("append").parquet(s"$tmp/good")
+            b.filter(col("_corrupt_record").isNotNull)
+              .select(col("_corrupt_record").as("raw"))
+              .write.mode("append").parquet(s"$tmp/dead")
+          } finally b.unpersist()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      val good = ss.read.parquet(s"$tmp/good")
+        .groupBy(col("source").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val dead = ss.read.parquet(s"$tmp/dead")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("_corrupt").as("bucket"), col("n"))
+      good.unionByName(dead).orderBy(col("bucket"))
     })
   )
 
@@ -583,6 +653,16 @@ object StreamingQueries extends QueryPack {
         |  max(version) AS max_version
         |FROM m GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q107_dead_letter" ->
+      """WITH delta AS (SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 11 = 5),
+        |g AS (SELECT source AS bucket, count(*) AS n FROM delta
+        |  WHERE doc_id % 3 != 1 GROUP BY source),
+        |c AS (SELECT '_corrupt' AS bucket, count(*) AS n FROM delta
+        |  WHERE doc_id % 3 = 1)
+        |SELECT bucket, n FROM (SELECT * FROM g UNION ALL SELECT * FROM c)
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
     "q105_stream_neardup_admission" ->
       s"""WITH esv AS (SELECT doc_id, source, text FROM documents
