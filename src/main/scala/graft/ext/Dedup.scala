@@ -338,10 +338,23 @@ object Dedup {
     val verified = cand
       .join(sh.select(col("id"), col("hs").as("ha")), col("a_id") === col("id")).drop("id")
       .join(sh.select(col("id"), col("hs").as("hb")), col("b_id") === col("id")).drop("id")
+      .filter(sizeRatioGuard(col("ha"), col("hb"), threshold))
       .withColumn("jacc", jaccard(col("ha"), col("hb")))
       .filter(col("jacc") >= threshold)
     verified.select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }
+
+  /** Sound pre-verify prune: jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/
+    * max(|A|,|B|), so any pair passing `jacc ≥ t` satisfies
+    * 100·min ≥ ⌊100·t⌋·max. Integer arithmetic (⌊100·t⌋ ≤ 100·t) keeps
+    * the guard sound at exact-boundary ratios where a double multiply
+    * would overshoot and drop a legitimate pair. Cuts the candidate
+    * volume the O(|A|+|B|) intersect pays for; never changes the
+    * verified set. */
+  private def sizeRatioGuard(ha: Column, hb: Column,
+      threshold: Double): Column =
+    least(size(ha), size(hb)) * 100 >=
+      greatest(size(ha), size(hb)) * math.floor(threshold * 100).toLong
 
   /** Incremental MinHash-LSH: near-dup pairs BETWEEN a delta batch and
     * an existing corpus (never within either side) — the nightly-ingest
@@ -416,6 +429,7 @@ object Dedup {
           col("d_id") === col("id")).drop("id")
         .join(hashes.select(col("id"), col("hs").as("hb")),
           col("c_id") === col("id")).drop("id")
+        .filter(sizeRatioGuard(col("ha"), col("hb"), threshold))
         .withColumn("jacc", jaccard(col("ha"), col("hb")))
         .filter(col("jacc") >= threshold)
         .select(col("d_id"), col("c_id"), round(col("jacc"), 4).as("jacc"))
