@@ -298,8 +298,44 @@ object CurationQueries extends QueryPack {
           round(col("sum_qbp").cast("double") / col("n_docs") / 10000.0, 4)
             .as("avg_quality"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Temperature-based mixture weights: the data-mixing step of
+    //      pretraining (upsample small sources, damp large ones) —
+    //      w_i ∝ n_i^τ over per-source token counts, allocated against
+    //      a fixed token budget. τ = 0.5 deliberately: sqrt is
+    //      CORRECTLY ROUNDED under IEEE-754 in every engine, so the
+    //      weights hash bit-identically, while a general pow(x, τ) is
+    //      at the mercy of each libm's last ulp (the q75 rational-idf
+    //      principle applied to temperatures). The normalizer folds
+    //      sqrt terms in SOURCE-NAME order (array_sort → left fold, ==
+    //      DuckDB list ORDER BY + list_reduce) — float summation made
+    //      order-deterministic the same way q68's packing fold is.
+    //      Shape at scale: one token-count aggregation, one 20-row
+    //      fold, map-side arithmetic — the allocation is floor()ed off
+    //      identical doubles, so budgets reconcile exactly. ----
+    "q108_mixture_weights" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
+      val norm = per.agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("source"),
+            sqrt(col("n_tokens")).as("sq")))),
+          x => x.getField("sq")),
+        lit(0.0), (acc, x) => acc + x).as("S"))
+      per.crossJoin(norm)
+        .withColumn("weight", round(sqrt(col("n_tokens")) / col("S"), 4))
+        .withColumn("alloc_tokens",
+          floor(lit(MixBudget) * sqrt(col("n_tokens")) / col("S"))
+            .cast("long"))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("alloc_tokens"))
+        .orderBy(col("source"))
     })
   )
+
+  private val MixBudget = 1000000.0 // tokens allocated across sources
 
   override def oracles: Map[String, String] = Map(
     "q61_curation" ->
@@ -430,6 +466,19 @@ object CurationQueries extends QueryPack {
          |  min_chars, max_chars,
          |  round(sum_qbp::DOUBLE / n_docs / 10000.0, 4) AS avg_quality
          |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    "q108_mixture_weights" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT list_reduce(
+         |    list(sqrt(n_tokens::DOUBLE) ORDER BY source),
+         |    (a, b) -> a + b) AS S FROM per)
+         |SELECT source, n_tokens,
+         |  round(sqrt(n_tokens::DOUBLE) / s.S, 4) AS weight,
+         |  CAST(floor($MixBudget * sqrt(n_tokens::DOUBLE) / s.S) AS BIGINT)
+         |    AS alloc_tokens
+         |FROM per, s ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }

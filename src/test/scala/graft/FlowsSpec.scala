@@ -110,4 +110,31 @@ class FlowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed.count() === 4L)
     assert(replayed.select("doc_id").distinct().count() === 2L)
   }
+
+  test("serving round-trip: documents routed through an index store read back content-identical") {
+    import graft.sinks.{IndexStore, TopicRouter}
+    import org.apache.spark.sql.functions.{col, from_json, md5, struct, to_json}
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("idx_docs_").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val batch = docs
+      .select(to_json(struct(col("doc_id"), col("source"), col("text")))
+        .as("value"))
+      .withColumn("topic", org.apache.spark.sql.functions.lit("docs"))
+    TopicRouter.route(batch, "topic",
+      IndexStore.sinks(root, routing = Map("docs" -> "documents_idx")))
+    // read the index back and re-project the payload: any retrieval
+    // query (q103's BM25, q86's chunks) now runs on this frame — the
+    // round trip must therefore preserve the corpus EXACTLY
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val served = IndexStore.index(spark, root, "documents_idx")
+      .select(from_json(col("value"), schema).as("p")).select("p.*")
+    assert(served.count() === docs.count())
+    assert(served.select(md5(col("text").cast("binary"))).except(
+      docs.select(md5(col("text").cast("binary")))).count() === 0L)
+    assert(docs.join(served, Seq("doc_id", "source", "text"), "left_anti")
+      .count() === 0L)
+  }
 }
