@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -408,10 +408,96 @@ object AdvancedQueries extends QueryPack {
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("decile"))
+    }),
+
+    // ---- Data-quality constraint gate: declarative expectations
+    //      evaluated as aggregates (the Deequ shape) — the admission
+    //      check a pipeline runs before promoting a snapshot. Six
+    //      rules across three shapes: null-rate and value-range fold
+    //      into ONE lineitem scan (shared-scan aggregates, not one
+    //      pass per rule), uniqueness is count − countDistinct on the
+    //      same pass, referential integrity is a left-anti count
+    //      (broadcastable when the dimension side is), accepted-values
+    //      shares the orders scan. Each rule reports n_checked /
+    //      n_violations / pass — on this data the range and
+    //      accepted-values expectations genuinely fail, so the gate's
+    //      report path is exercised, not just its green path. ----
+    "q110_quality_checks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L)
+          .otherwise(0L)).as("v_range"),
+        (count(lit(1)) -
+          countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+          .as("v_ckey"))
+      val ord = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        sum(when(!col("o_orderstatus").isin("F", "O"), 1L).otherwise(0L))
+          .as("v_vals"))
+      val orphan = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_ref"))
+      def rule(name: String, checked: Column, viol: Column) = Seq(
+        lit(name).as("rule"), checked.as("n_checked"), viol.as("n_violations"),
+        when(viol === 0, 1).otherwise(0).as("pass"))
+      val liN = col("n"); val r = rule _
+      li.crossJoin(ord.select(col("n").as("n_o"), col("v_uniq"),
+          col("v_vals")))
+        .crossJoin(orphan)
+        .select(array(
+          struct(r("lineitem_l_orderkey_not_null", liN, col("v_null")): _*),
+          struct(r("lineitem_l_quantity_in_1_45", liN, col("v_range")): _*),
+          struct(r("lineitem_orderkey_linenumber_unique", liN,
+            col("v_ckey")): _*),
+          struct(r("lineitem_orderkey_ref_orders", liN, col("v_ref")): _*),
+          struct(r("orders_o_orderkey_unique", col("n_o"),
+            col("v_uniq")): _*),
+          struct(r("orders_o_orderstatus_in_F_O", col("n_o"),
+            col("v_vals")): _*)).as("rules"))
+        .select(explode(col("rules")).as("x"))
+        .select(col("x.rule"), col("x.n_checked"), col("x.n_violations"),
+          col("x.pass"))
+        .orderBy(col("rule"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "q110_quality_checks" ->
+      """WITH li AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_ckey
+        |  FROM lineitem),
+        |ord AS (SELECT count(*) AS n_o,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_vals
+        |  FROM orders),
+        |orph AS (SELECT count(*) AS v_ref FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'lineitem_l_orderkey_not_null' AS rule, li.n AS n_checked,
+        |    li.v_null AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem_l_quantity_in_1_45', li.n, li.v_range
+        |    FROM li
+        |  UNION ALL SELECT 'lineitem_orderkey_linenumber_unique', li.n,
+        |    li.v_ckey FROM li
+        |  UNION ALL SELECT 'lineitem_orderkey_ref_orders', li.n, orph.v_ref
+        |    FROM li, orph
+        |  UNION ALL SELECT 'orders_o_orderkey_unique', ord.n_o, ord.v_uniq
+        |    FROM ord
+        |  UNION ALL SELECT 'orders_o_orderstatus_in_F_O', ord.n_o, ord.v_vals
+        |    FROM ord)
+        |SELECT rule, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM r ORDER BY rule ASC NULLS FIRST""".stripMargin,
+
     "q89_rolling_window" ->
       """WITH e AS (SELECT user_id, value, epoch_ms(ts)::BIGINT AS tsl
         |  FROM events),
