@@ -351,7 +351,7 @@ object Dedup {
     * would overshoot and drop a legitimate pair. Cuts the candidate
     * volume the O(|A|+|B|) intersect pays for; never changes the
     * verified set. */
-  private def sizeRatioGuard(ha: Column, hb: Column,
+  private[graft] def sizeRatioGuard(ha: Column, hb: Column,
       threshold: Double): Column =
     least(size(ha), size(hb)) * 100 >=
       greatest(size(ha), size(hb)) * math.floor(threshold * 100).toLong

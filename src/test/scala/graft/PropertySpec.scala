@@ -100,4 +100,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       fp.toSet.subsetOf(h) && fp.distinct.length == fp.length
     })
   }
+
+  test("sizeRatioGuard is sound: no pair with jaccard >= t is ever pruned") {
+    // random distinct-element sets with forced overlap so high-jaccard
+    // pairs actually occur, driven through the REAL guard Column
+    val setGen = for {
+      base <- Gen.chooseNum(1, 40)
+      extra <- Gen.chooseNum(0, 25)
+    } yield ((1 to base) ++ (100 to 100 + extra)).map(_.toLong)
+    for (t <- Seq(0.6, 0.8)) {
+      holds(40)(Prop.forAll(setGen, setGen) { (a, b) =>
+        val row = Seq((a, b)).toDF("ha", "hb")
+          .select(Dedup.jaccard(col("ha"), col("hb")).as("j"),
+            Dedup.sizeRatioGuard(col("ha"), col("hb"), t).as("g"))
+          .head
+        // soundness: guard may only prune pairs that CANNOT reach t
+        !(row.getDouble(0) >= t) || row.getBoolean(1)
+      })
+    }
+    // and it does real work: a 10-vs-100 size mismatch is pruned
+    val pruned = Seq(((1L to 10L).toSeq, (1L to 100L).toSeq)).toDF("ha", "hb")
+      .select(Dedup.sizeRatioGuard(col("ha"), col("hb"), 0.6)).head.getBoolean(0)
+    assert(!pruned)
+  }
 }
