@@ -152,4 +152,17 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation degenerated into an all-pairs join")
   }
+
+  test("q109: the source-mean table broadcasts; the corpus never shuffles to score") {
+    val p = plan("q109_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row mean table should broadcast into the scoring join")
+  }
+
+  test("q110: the quality gate is aggregates + one anti join — no windows, no sort of the facts") {
+    val p = plan("q110_quality_checks")
+    assert(!p.contains("Window"), "a rule regressed into a window pass")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row rule assembly should stay a broadcast nested/cross of scalars")
+  }
 }
