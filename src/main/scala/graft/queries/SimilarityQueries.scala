@@ -189,13 +189,27 @@ object SimilarityQueries extends QueryPack {
     * cells. Assignment is a pure map-side expression against the
     * literal centroid matrix (no crossJoin/window); the only shuffle is
     * the cell equi-join against the BROADCAST probe set. */
+  /** The standing IVF inverted index: every corpus vector exploded to
+    * its top-[[IvfAssignN]] cells — memoized AND CACHED per (session,
+    * dir) because it serves BOTH the batch candidate build and the
+    * q111 streaming search (at cluster scale: the cell-partitioned
+    * index table q73 materializes). */
+  private val cellsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def corpusCells(s: SparkSession, d: String): DataFrame =
+    cellsCache.getOrElseUpdate((s, d), {
+      val cents = centroids(s, d)
+      prepped(s, d)
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
+        .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
+        .cache()
+    })
+
   private def buildIvfCandidates(s: SparkSession, d: String): DataFrame = {
     val cents = centroids(s, d)
     val e = prepped(s, d)
-    val idx = e
-      .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
-      .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
-      .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
+    val idx = corpusCells(s, d)
     val probes = e.filter(isQuery(s, d))
       .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
       .withColumn("cells", Similarity.topCells(col("dots"), IvfProbes))
@@ -595,8 +609,75 @@ object SimilarityQueries extends QueryPack {
           round(min(col("cos")), 4).as("min_cos"),
           round(max(col("cos")), 4).as("max_cos"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Streaming ANN search: the ONLINE half of the index story
+    //      (q73 streams the build; this streams the queries). Query
+    //      vectors arrive raw in two waves; per micro-batch each is
+    //      normalized and probed map-side against the PLAN-LITERAL
+    //      centroids, the probe set broadcasts into the standing
+    //      [[corpusCells]] inverted index (built once, cached — at
+    //      cluster scale, q73's cell-partitioned table), and the
+    //      per-batch top-3 appends to the result log. The corpus is
+    //      never re-assigned and never shuffles; batch latency is
+    //      O(|batch| probes × cell occupancy). The oracle is the BATCH
+    //      IVF search over the same cohort — streaming the queries must
+    //      not change a single answer. ----
+    "q111_stream_ann_search" -> ((s, d) => {
+      val inDir = annQueryFixture(s, d)
+      val cents = centroids(s, d)
+      val idx = corpusCells(s, d)
+      val tmp = Files.createTempDirectory("graft_annq_run_").toString
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val probes = Similarity.withNormalized(batch, "embedding")
+            .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+            .withColumn("cells", Similarity.topCells(col("dots"), IvfProbes))
+            .select(col("vec_id").as("q_id"), col("ne").as("qe"),
+              explode(col("cells")).as("cell"))
+          val cand = idx.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("qe"), col("vec_id"), col("ne"))
+            .distinct()
+          topK(cand, 3).withColumn("wave", col("q_id") % 2)
+            .write.mode("append").parquet(s"$tmp/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/chk")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("wave"), col("q_id"), col("rn"), col("vec_id"),
+          col("cos"))
+        .orderBy(col("q_id"), col("rn"))
     })
   )
+
+  /** Staged (vec_id, raw embedding) parquet of the evaluation cohort in
+    * two wave files — the q111 stream input. Memoized per dir (paths
+    * only, safe across session restarts). */
+  private val annQueryFixCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def annQueryFixture(s: SparkSession, d: String): String =
+    annQueryFixCache.getOrElseUpdate(d, {
+      val tmp = Files.createTempDirectory("graft_annq_in_").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      val cohort = Tables.embeddings(s, d)
+        .filter(isQuery(s, d)).select(col("vec_id"), col("embedding"))
+      Seq(0, 1).foreach { w =>
+        val st = s"$tmp/stage_$w"
+        cohort.filter(col("vec_id") % 2 === w)
+          .coalesce(1).write.mode("overwrite").parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath,
+          new java.io.File(in, f"00$w%s_wave.parquet").toPath)
+      }
+      s"$tmp/in"
+    })
 
   private val OutlierCos = 0.0 // flag vectors anti-correlated with their domain
 
@@ -986,12 +1067,24 @@ object SimilarityQueries extends QueryPack {
          |    AS n_outliers,
          |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
          |FROM sc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin
+    // streaming the queries must return the BATCH index's exact
+    // answers — q111's oracle is q50's with the wave column added
+    val q111 =
+      s"""WITH ${preppedCte(0)},
+         |${ivfCandCte("cand")},
+         |cc AS (SELECT q_id, vec_id, ${dotSql("qe", "ne")} AS c FROM cand),
+         |r AS (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY round(c, 6) DESC, vec_id) AS rn FROM cc)
+         |SELECT CAST(q_id % 2 AS BIGINT) AS wave, q_id,
+         |  CAST(rn AS INTEGER) AS rn, vec_id, round(c, 4) AS cos
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     base + ("q57_ann_recall" -> q57) + ("q59_ann_candidates" -> q59) +
       ("q62_int8_recall" -> q62) + ("q64_ivf_int8_recall" -> q64) +
       ("q65_pq_recall" -> q65) + ("q69_ivfpq_recall" -> q69) +
       ("q73_stream_index_ingest" -> q73) + ("q79_semdedup" -> q79) +
       ("q87_domain_centroids" -> q87) +
-      ("q109_embedding_outliers" -> q109)
+      ("q109_embedding_outliers" -> q109) +
+      ("q111_stream_ann_search" -> q111)
   }
 
   private def baseOracles: Map[String, String] = Map(
