@@ -27,13 +27,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
-    // the result lines in the merged stream — the driver keeps only a
-    // fixed-size tail of stdout, and round-3's total was truncated out by
-    // post-line logs. The compact total-only line goes first (it can
-    // never be cut by the big per-query line growing), then the full
-    // contract line with the per-query map.
+    // the result lines in the merged stream. The driver keeps only a
+    // fixed-size TAIL of stdout, so the FRONT of the stream is what gets
+    // truncated: the compact total-only line must be printed LAST (after
+    // the big per-query line) or it scrolls out of the tail — which is
+    // exactly what nulled the r3/r4 bench parses.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }

@@ -459,4 +459,14 @@ object Dedup {
       Seq("band", "bh")).cache()
     NearDupIndex(shC, guarded, k, bands, threshold)
   }
+
+  /** Reassemble a [[NearDupIndex]] from persisted parts (the
+    * [[graft.sinks.ArtifactStore]] load seam). The frames must be
+    * exactly a saved index's [[NearDupIndex.hashes]] / guardedBands,
+    * and (k, bands, threshold) the parameters it was built with —
+    * the meta sidecar, not the caller, should supply them. Both frames
+    * are cached, matching the build path's standing-index lifecycle. */
+  def nearDupIndexFromParts(hashes: DataFrame, guardedBands: DataFrame,
+      k: Int, bands: Int, threshold: Double): NearDupIndex =
+    NearDupIndex(hashes.cache(), guardedBands.cache(), k, bands, threshold)
 }

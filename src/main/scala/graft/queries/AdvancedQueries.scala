@@ -404,7 +404,8 @@ object AdvancedQueries extends QueryPack {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
       Tables.documents(s, d)
-        .withColumn("decile", ntile(10).over(w))
+        // int32→long: DuckDB ntile() yields int64; typed hash must agree.
+        .withColumn("decile", ntile(10).over(w).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("decile"))

@@ -95,7 +95,9 @@ object CoreQueries extends QueryPack {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        // Cast to long: Spark row_number() is int32, DuckDB's is int64 —
+        // the driver hashes typed values, so the widths must agree.
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"))

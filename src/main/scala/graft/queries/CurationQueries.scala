@@ -43,12 +43,16 @@ object CurationQueries extends QueryPack {
     * driver loop (real jobs, not just a plan), so q61 and q72 must not
     * each pay it — the cluster-scale analogue is materializing the
     * survivor set once per snapshot. */
-  private val funnelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]
+  private val funnelCache = graft.runtime.FrameCache.of[
+      (SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)](
+    "curation-funnel", k => Some(k._1))(
+    // only the base docs frame (tuple._1) is cached; the later stages
+    // are plan derivations of it
+    v => { v._1.unpersist(); () })
   private def funnelFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
-    funnelCache.getOrElseUpdate((s, d), buildFunnelFrames(s, d))
+    funnelCache.get((s, d))(buildFunnelFrames(s, d))
 
   private def buildFunnelFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {

@@ -42,10 +42,9 @@ object DedupQueries extends QueryPack {
     * band→verify pipeline from the scan (~0.9 s each at sf0.1). The
     * cluster-scale analogue is materializing the pair table to storage
     * once per corpus snapshot and fanning analyses out from it. */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val pairsCache = graft.runtime.FrameCache.frames("dedup-pairs")
   private def corpusPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d),
+    pairsCache.get((s, d))(
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, k = K, bands = Bands, threshold = 0.8).cache())
 
@@ -561,8 +560,10 @@ object DedupQueries extends QueryPack {
          |      ORDER BY seg_idx)), 0) AS chars_kept
          |  FROM k GROUP BY doc_id, source)
          |SELECT source, count(*) AS n_docs,
-         |  sum(n_segs) AS n_segs, sum(segs_kept) AS segs_kept,
-         |  sum(chars_in) AS chars_in, sum(chars_kept) AS chars_kept,
+         |  CAST(sum(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(sum(segs_kept) AS BIGINT) AS segs_kept,
+         |  CAST(sum(chars_in) AS BIGINT) AS chars_in,
+         |  CAST(sum(chars_kept) AS BIGINT) AS chars_kept,
          |  CAST(sum(CASE WHEN segs_kept = n_segs THEN 1 ELSE 0 END) AS BIGINT)
          |    AS docs_intact
          |FROM per_doc GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,

@@ -66,7 +66,7 @@ object MultimodalQueries extends QueryPack {
       // memoized+cached per (session, dir) like the other shared
       // artifacts — repeat invocations (bench best-of-2) reuse one
       // materialized hash frame instead of stacking cache entries
-      val hashed = dhashCache.getOrElseUpdate((s, d),
+      val hashed = dhashCache.get((s, d))(
         orig.unionByName(copies)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("media_id"), col("source"),
@@ -101,8 +101,7 @@ object MultimodalQueries extends QueryPack {
 
   /** q104's decorated+hashed media frame, per (session, dir) — session
     * in the key because a cached DataFrame dies with its session. */
-  private val dhashCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val dhashCache = graft.runtime.FrameCache.frames("media-dhash")
 
   override def oracles: Map[String, String] = Map(
     "q43_media_features" ->
@@ -147,8 +146,11 @@ object MultimodalQueries extends QueryPack {
          |      AS dhash FROM pp),
          |b AS (SELECT media_id, band, (dhash >> (band * 15)) & 32767 AS v
          |  FROM h, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |bg AS (SELECT band, v FROM b GROUP BY band, v
+         |  HAVING count(*) BETWEEN 2 AND ${graft.ext.Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT a.media_id AS a_id, bb.media_id AS b_id
-         |  FROM b a JOIN b bb ON a.band = bb.band AND a.v = bb.v
+         |  FROM bg JOIN b a ON a.band = bg.band AND a.v = bg.v
+         |    JOIN b bb ON bb.band = bg.band AND bb.v = bg.v
          |    AND a.media_id < bb.media_id),
          |vf AS (SELECT h1.source, bit_count(xor(h1.dhash, h2.dhash)) AS dist
          |  FROM cand JOIN h h1 ON cand.a_id = h1.media_id

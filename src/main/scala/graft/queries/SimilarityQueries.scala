@@ -74,10 +74,11 @@ object SimilarityQueries extends QueryPack {
   // keyed on the SESSION too: a cached DataFrame is bound to the
   // session that built it — a stopped/recreated SparkSession in the
   // same JVM must get a fresh frame, not a stale handle
-  private val prepCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), DataFrame]
+  private val prepCache = graft.runtime.FrameCache.of[
+      (SparkSession, String, Int), DataFrame](
+    "prepped-embeddings", k => Some(k._1))(v => { v.unpersist(); () })
   private def prepped(s: SparkSession, d: String, planes: Int = 0): DataFrame =
-    prepCache.getOrElseUpdate((s, d, planes), {
+    prepCache.get((s, d, planes))({
       val base = Similarity.withNormalized(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
           .repartition(s.sparkContext.defaultParallelism),
@@ -144,12 +145,13 @@ object SimilarityQueries extends QueryPack {
     * q39/q57/q59 consume the LSH candidates and q50/q57/q59/q64/q69 the
     * IVF candidates — without the cache each consumer re-runs the
     * multi-table probe joins (~1 s each at sf0.1). */
-  private val candCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  private val candCache = graft.runtime.FrameCache.of[
+      (SparkSession, String, String), DataFrame](
+    "ann-candidates", k => Some(k._1))(v => { v.unpersist(); () })
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate((s, d, "lsh"), buildLshCandidates(s, d).cache())
+    candCache.get((s, d, "lsh"))(buildLshCandidates(s, d).cache())
   private def ivfCandidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate((s, d, "ivf"), buildIvfCandidates(s, d).cache())
+    candCache.get((s, d, "ivf"))(buildIvfCandidates(s, d).cache())
 
   private def buildLshCandidates(s: SparkSession, d: String): DataFrame = {
     var e = prepped(s, d)
@@ -194,10 +196,9 @@ object SimilarityQueries extends QueryPack {
     * dir) because it serves BOTH the batch candidate build and the
     * q111 streaming search (at cluster scale: the cell-partitioned
     * index table q73 materializes). */
-  private val cellsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val cellsCache = graft.runtime.FrameCache.frames("ivf-cells")
   private def corpusCells(s: SparkSession, d: String): DataFrame =
-    cellsCache.getOrElseUpdate((s, d), {
+    cellsCache.get((s, d))({
       val cents = centroids(s, d)
       prepped(s, d)
         .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
@@ -206,20 +207,36 @@ object SimilarityQueries extends QueryPack {
         .cache()
     })
 
-  private def buildIvfCandidates(s: SparkSession, d: String): DataFrame = {
-    val cents = centroids(s, d)
-    val e = prepped(s, d)
-    val idx = corpusCells(s, d)
-    val probes = e.filter(isQuery(s, d))
+  private def buildIvfCandidates(s: SparkSession, d: String): DataFrame =
+    ivfCandidatesFrom(corpusCells(s, d), centroids(s, d),
+      prepped(s, d).filter(isQuery(s, d)))
+
+  /** IVF candidates from EXPLICIT index artifacts — the seam that lets
+    * a session probe a loaded ([[graft.sinks.ArtifactStore]]) index it
+    * did not build; [[buildIvfCandidates]] is this applied to the
+    * in-memory artifacts. `queries` is a (vec_id, ne) frame. */
+  private[graft] def ivfCandidatesFrom(cells: DataFrame,
+      cents: Seq[Array[Double]], queries: DataFrame): DataFrame = {
+    val probes = queries
       .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
       .withColumn("cells", Similarity.topCells(col("dots"), IvfProbes))
       .select(col("vec_id").as("q_id"), col("ne").as("qe"),
         explode(col("cells")).as("cell"))
-    idx.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("qe"), col("vec_id"), col("ne"))
       .distinct()
   }
+
+  /** The standing IVF artifacts (inverted index + centroid matrix) for
+    * `d` — what [[graft.sinks.ArtifactStore.saveIvfIndex]] persists. */
+  private[graft] def ivfArtifacts(s: SparkSession, d: String)
+      : (DataFrame, Seq[Array[Double]]) =
+    (corpusCells(s, d), centroids(s, d))
+
+  /** The normalized (vec_id, ne) corpus frame (spec probe-set seam). */
+  private[graft] def preppedEmbeddings(s: SparkSession, d: String): DataFrame =
+    prepped(s, d)
 
   /** Top-k per query over a candidate frame, cross-engine total order
     * (rounded cosine desc, vec_id tie-break). */

@@ -650,7 +650,7 @@ object StreamingQueries extends QueryPack {
         |  FROM u GROUP BY o_orderkey)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,
-        |  max(version) AS max_version
+        |  CAST(max(version) AS BIGINT) AS max_version
         |FROM m GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 

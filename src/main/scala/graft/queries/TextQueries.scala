@@ -305,18 +305,23 @@ object TextQueries extends QueryPack {
       .repartition(s.sparkContext.defaultParallelism)
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .cache()
-    val eps = 0.001
-    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      tok.agg(count_min_sketch(col("term"), lit(eps), lit(0.999), lit(42))
-        .as("sk")).head.getAs[Array[Byte]](0))
-    val nTotal = tok.count()
-    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("term")).limit(10).collect()
-    val rows = top.zipWithIndex.map { case (r, i) =>
-      val (term, exact) = (r.getString(0), r.getLong(1))
-      val est = sk.estimateCount(term)
-      (i + 1, term, exact, est >= exact, est <= exact + (eps * nTotal).toLong)
-    }.toSeq
+    // The cache only serves the three actions below; unpersist before
+    // returning so repeated invocations (the bench runs queries twice)
+    // don't pin a fresh copy in executor memory each time.
+    val rows = try {
+      val eps = 0.001
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        tok.agg(count_min_sketch(col("term"), lit(eps), lit(0.999), lit(42))
+          .as("sk")).head.getAs[Array[Byte]](0))
+      val nTotal = tok.count()
+      val top = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term")).limit(10).collect()
+      top.zipWithIndex.map { case (r, i) =>
+        val (term, exact) = (r.getString(0), r.getLong(1))
+        val est = sk.estimateCount(term)
+        (i + 1, term, exact, est >= exact, est <= exact + (eps * nTotal).toLong)
+      }.toSeq
+    } finally tok.unpersist()
     rows.toDF("rk", "term", "exact_n", "est_ge_exact", "est_within_eps")
       .orderBy(col("rk"))
   }

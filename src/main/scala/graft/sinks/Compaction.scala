@@ -32,7 +32,7 @@ object Compaction {
 
   /** Part files of a parquet directory (the metric compaction moves). */
   def partFiles(dir: String): Seq[java.io.File] =
-    new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
-      .toSeq
+    // listFiles() is null (not empty) for a missing/unreadable dir
+    Option(new java.io.File(dir).listFiles()).fold(Seq.empty[java.io.File])(
+      _.filter(f => f.getName.endsWith(".parquet") && f.length() > 0).toSeq)
 }

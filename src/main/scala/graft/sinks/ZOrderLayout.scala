@@ -53,10 +53,14 @@ object ZOrderLayout {
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
       files: Int, path: String): Unit = {
     val r = df.agg(max(col(xCol)), max(col(yCol))).head
-    val (xm, ym) = (r.getLong(0), r.getLong(1))
+    // getAs[Number]: accept INT/SMALLINT keys, not just LONG
+    val (xm, ym) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
     val grid = 1L << bits
-    val zs = zvalue(expr(s"($xCol * $grid) div ${xm + 1}"),
-      expr(s"($yCol * $grid) div ${ym + 1}"), bits)
+    // CAST to BIGINT before the scale-up multiply: an INT key times the
+    // grid would wrap silently in non-ANSI mode and corrupt z-values
+    val zs = zvalue(
+      expr(s"(CAST($xCol AS BIGINT) * $grid) div ${xm + 1}"),
+      expr(s"(CAST($yCol AS BIGINT) * $grid) div ${ym + 1}"), bits)
     df.withColumn("__z", zs)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -153,6 +153,16 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "candidate generation degenerated into an all-pairs join")
   }
 
+  test("q33/q37: winnowing runs as the one-pass native kernel, not the HOF chain") {
+    for (q <- Seq("q33_fingerprint", "q37_ngram_jaccard")) {
+      val p = plan(q)
+      assert(p.contains("winnow_fingerprints"),
+        s"$q lost the WinnowFingerprints kernel")
+      assert(!p.contains("array_min"),
+        s"$q fell back to the interpreted slice+array_min composition")
+    }
+  }
+
   test("q109: the source-mean table broadcasts; the corpus never shuffles to score") {
     val p = plan("q109_embedding_outliers")
     assert(p.contains("BroadcastHashJoin"),

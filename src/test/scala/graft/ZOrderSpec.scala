@@ -60,4 +60,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(okTouched < NFiles,
       s"z-order lost all orderkey locality ($okTouched/$NFiles)")
   }
+
+  test("writeZOrdered accepts INT keys without wrap or ClassCastException") {
+    import spark.implicits._
+    // keys near Int.MaxValue: an un-cast INT * 2^12 multiply would wrap
+    val n = 1000
+    val df = (0 until n)
+      .map(i => (Int.MaxValue - i, Int.MaxValue - (i * 7 % n)))
+      .toDF("x", "y") // int32 columns
+    val dir = Files.createTempDirectory("graft_zorder_int_").toString
+    ZOrderLayout.writeZOrdered(df, "x", "y", 12, 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    // wrap corruption would scramble the layout: every x must round-trip
+    assert(back.agg(min(col("x")), max(col("x"))).head ==
+      df.agg(min(col("x")), max(col("x"))).head)
+  }
+
+  test("Compaction.partFiles of a missing directory is empty, not an NPE") {
+    assert(graft.sinks.Compaction.partFiles("/nonexistent/graft_dir").isEmpty)
+  }
 }

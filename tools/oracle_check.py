@@ -3,13 +3,18 @@
 
 Runs graft.Verify output (outDir/<name>/ parquet + oracle_sql.json)
 against DuckDB on the same sf tables, compares:
-  - row count, column names (sorted), and
+  - row count, column names (sorted),
+  - Arrow-level column TYPES (the driver hashes typed values: a DuckDB
+    HUGEINT rendered as decimal128 hashes differently from Spark's
+    int64 even when the values agree — the exact skew that made
+    q77 red in round 4 while fetchall()'s Python ints hid it), and
   - values: exact for non-floats, strict-then-tolerant for floats
     (reports which level passed so we know hash-match risk).
 
 Usage: python3 tools/oracle_check.py <sfDir> <outDir>
+       python3 tools/oracle_check.py --selftest
 """
-import json, math, sys
+import json, math, sys, tempfile
 from pathlib import Path
 
 import duckdb
@@ -18,13 +23,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Sort columns by name, then rows; stringify for hash-like compare."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return [cols[i] for i in order], out
+def arrow_rows(tbl, cols):
+    """Materialize an Arrow table as row tuples in the given column order."""
+    col_lists = [tbl.column(c).to_pylist() for c in cols]
+    return list(zip(*col_lists)) if col_lists and tbl.num_rows else []
+
+
+def canon_arrow(tbl):
+    """Column names sorted, matching Arrow type strings, row tuples."""
+    names = sorted(tbl.schema.names)
+    types = [str(tbl.schema.field(n).type) for n in names]
+    return names, types, arrow_rows(tbl, names)
 
 
 def cell_eq(a, b):
@@ -43,7 +52,70 @@ def cell_eq(a, b):
     return a == b, a == b
 
 
+def compare(name, got_tbl, exp_tbl):
+    """Compare two Arrow tables; return (ok, message)."""
+    gc, gt, gr = canon_arrow(got_tbl)
+    ec, et, er = canon_arrow(exp_tbl)
+    if gc != ec:
+        return False, f"COLUMN-MISMATCH got={gc} exp={ec}"
+    if gt != et:
+        skew = [f"{c}: spark={a} oracle={b}"
+                for c, a, b in zip(gc, gt, et) if a != b]
+        return False, ("TYPE-SKEW (driver hashes typed values!) "
+                       + "; ".join(skew))
+    if len(gr) != len(er):
+        return False, f"ROWCOUNT got={len(gr)} exp={len(er)}"
+    key = lambda r: tuple(repr(x) for x in r)
+    gr_s, er_s = sorted(gr, key=key), sorted(er, key=key)
+    exact_all, tol_all, first_bad = True, True, None
+    for i, (g, e) in enumerate(zip(gr_s, er_s)):
+        for j, (gv, ev) in enumerate(zip(g, e)):
+            ex, tl = cell_eq(gv, ev)
+            exact_all &= ex
+            if not tl and first_bad is None:
+                first_bad = (i, gc[j], gv, ev)
+            tol_all &= tl
+    if tol_all:
+        lvl = "EXACT" if exact_all else "TOLERANT(float-noise!)"
+        return True, f"PASS [{lvl}] rows={len(gr)}"
+    i, c, gv, ev = first_bad
+    return False, f"VALUE-MISMATCH row={i} col={c} got={gv!r} exp={ev!r}"
+
+
+def selftest():
+    """Prove the checker flags the q77 class: an uncast DuckDB sum
+    (HUGEINT/decimal128) vs a Spark-style BIGINT parquet column whose
+    VALUES agree exactly."""
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        # "Spark side": parquet with an int64 total, value 6.
+        con.execute(
+            f"COPY (SELECT CAST('a' AS VARCHAR) AS k, CAST(6 AS BIGINT)"
+            f" AS total) TO '{d}/got.parquet' (FORMAT PARQUET)")
+        got = con.execute(f"SELECT * FROM '{d}/got.parquet'")\
+                 .fetch_arrow_table()
+        # Uncast oracle: sum(BIGINT) -> HUGEINT -> arrow decimal128.
+        bad = con.execute(
+            "SELECT 'a' AS k, sum(x) AS total FROM (VALUES (CAST(1 AS"
+            " BIGINT)), (2), (3)) t(x)").fetch_arrow_table()
+        ok_bad, msg_bad = compare("selftest-uncast", got, bad)
+        # Cast oracle: the fix — identical values AND types.
+        good = con.execute(
+            "SELECT 'a' AS k, CAST(sum(x) AS BIGINT) AS total FROM"
+            " (VALUES (CAST(1 AS BIGINT)), (2), (3)) t(x)")\
+            .fetch_arrow_table()
+        ok_good, msg_good = compare("selftest-cast", good, got)
+    assert not ok_bad and "TYPE-SKEW" in msg_bad, \
+        f"checker MISSED the uncast sum: {msg_bad}"
+    assert ok_good, f"checker rejected the cast sum: {msg_good}"
+    print(f"selftest: uncast sum flagged ({msg_bad.split(';')[0].strip()});"
+          " cast sum passes. OK")
+
+
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -56,51 +128,23 @@ def main():
         if not qdir.is_dir():
             continue
         name = qdir.name
-        got = con.execute(
-            f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
-        got_cols = [d[0] for d in con.description]
+        got_tbl = con.execute(
+            f"SELECT * FROM '{qdir}/*.parquet'").fetch_arrow_table()
         if name not in oracles:
             n_noracle += 1
-            print(f"  {name}: NO-ORACLE rows={len(got)}"
-                  f" ({'ok' if len(got) > 0 else 'EMPTY!'})")
+            print(f"  {name}: NO-ORACLE rows={got_tbl.num_rows}"
+                  f" ({'ok' if got_tbl.num_rows > 0 else 'EMPTY!'})")
             continue
         try:
-            exp = con.execute(oracles[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            exp_tbl = con.execute(oracles[name]).fetch_arrow_table()
         except Exception as e:
             n_fail += 1
             print(f"  {name}: ORACLE-SQL-ERROR {e}")
             continue
-        gc, gr = canon(got, got_cols)
-        ec, er = canon(exp, exp_cols)
-        if gc != ec:
-            n_fail += 1
-            print(f"  {name}: COLUMN-MISMATCH got={gc} exp={ec}")
-            continue
-        if len(gr) != len(er):
-            n_fail += 1
-            print(f"  {name}: ROWCOUNT got={len(gr)} exp={len(er)}")
-            continue
-        # compare without assuming row order: sort stringified rows
-        key = lambda r: tuple(repr(x) for x in r)
-        gr_s, er_s = sorted(gr, key=key), sorted(er, key=key)
-        exact_all, tol_all, first_bad = True, True, None
-        for i, (g, e) in enumerate(zip(gr_s, er_s)):
-            for j, (gv, ev) in enumerate(zip(g, e)):
-                ex, tl = cell_eq(gv, ev)
-                exact_all &= ex
-                if not tl and first_bad is None:
-                    first_bad = (i, gc[j], gv, ev)
-                tol_all &= tl
-        if tol_all:
-            n_pass += 1
-            lvl = "EXACT" if exact_all else "TOLERANT(float-noise!)"
-            print(f"  {name}: PASS [{lvl}] rows={len(gr)}")
-        else:
-            n_fail += 1
-            i, c, gv, ev = first_bad
-            print(f"  {name}: VALUE-MISMATCH row={i} col={c}"
-                  f" got={gv!r} exp={ev!r}")
+        ok, msg = compare(name, got_tbl, exp_tbl)
+        n_pass += ok
+        n_fail += not ok
+        print(f"  {name}: {msg}")
     print(f"== pass={n_pass} fail={n_fail} no-oracle={n_noracle}")
     sys.exit(1 if n_fail else 0)
 
