@@ -17,10 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  2. '''Eviction''': every cache self-registers, so a long-lived
   *     session can drop what it no longer needs —
   *     [[FrameCache.evictSession]] unpersists and forgets one session's
-  *     entries (the SessionCleanupSpec path), [[FrameCache.evictStopped]]
-  *     sweeps entries whose session is already stopped (stale (session,
-  *     dir) keys no longer pin the process), and [[FrameCache.clearAll]]
-  *     resets everything.
+  *     entries, [[FrameCache.evictStopped]] sweeps entries whose
+  *     session is already stopped (stale (session, dir) keys no longer
+  *     pin the process), and [[FrameCache.clearAll]] resets everything.
+  *     Both properties are asserted in FrameCacheSpec.
   *
   * At cluster scale these memos are the "materialize once per corpus
   * snapshot" pattern; this registry is the snapshot-lifecycle seam for

@@ -153,6 +153,17 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "candidate generation degenerated into an all-pairs join")
   }
 
+  test("q35/q97: consumers read the ONE cached verified-pair artifact, not a rebuild") {
+    // (q98/q60 consume the same frame through the connected-components
+    // driver loop, whose localCheckpoint truncates the visible lineage)
+    for (q <- Seq("q35_minhash_lsh", "q97_cross_source_dups")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q re-runs the shingle/signature/verify pipeline instead of " +
+          "scanning the shared cached pair frame")
+    }
+  }
+
   test("q33/q37: winnowing runs as the one-pass native kernel, not the HOF chain") {
     for (q <- Seq("q33_fingerprint", "q37_ngram_jaccard")) {
       val p = plan(q)
