@@ -40,7 +40,13 @@ final class FrameCache[K, V](
     else map.synchronized {
       val again = map.get(k)
       if (again != null) again
-      else { val v = build; map.put(k, v); v }
+      else {
+        // housekeeping on the rare build path: entries whose session is
+        // already stopped can never be served again — sweep them so
+        // stale (session, dir) keys don't pin the process lifetime
+        evictStopped()
+        val v = build; map.put(k, v); v
+      }
     }
   }
 
