@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Md5Long60, VecDot}
+import graft.functions.{IntersectSizeLong, Md5Long60, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -26,5 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size_long"),
+      new ExpressionInfo(classOf[IntersectSizeLong].getName,
+        "intersect_size_long"),
+      (children: Seq[Expression]) =>
+        IntersectSizeLong(children.head, children(1))))
   }
 }

@@ -77,10 +77,24 @@ object Dedup {
     }: _*)
   }
 
-  /** Exact Jaccard between two distinct-element array columns:
-    * |A∩B| via hashed `array_intersect` (O(n+m), vs O(n·m) for a
-    * membership-filter scan), |A∪B| = |A|+|B|−|A∩B|. */
+  /** Exact Jaccard between two distinct-element long-array columns:
+    * |A∩B| via the one-pass [[graft.functions.IntersectSizeLong]]
+    * kernel (sort + merge count — bit-identical counts to
+    * `size(array_intersect(a, b))` on distinct arrays, spec-asserted in
+    * DedupSpec, without materializing the intersection array per pair),
+    * |A∪B| = |A|+|B|−|A∩B|. The division stays a Catalyst composition
+    * so promotion/zero-divide semantics are unchanged. */
   def jaccard(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.IntersectSizeLong(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** The built-in composition [[jaccard]] replaced — retained as the
+    * spec's bit-identity baseline. */
+  private[graft] def jaccardComposed(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
   }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -66,6 +66,29 @@ object SigKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
+  /** |A∩B| of two DISTINCT-element long arrays: copy to primitive
+    * arrays, dual sort, one merge pass. Replaces
+    * `size(array_intersect(a, b))`, which materializes the whole
+    * intersection array (plus its hash structures) only to take its
+    * length. Equality of counts relies on the distinct-element
+    * precondition (every caller builds the arrays via `array_distinct`)
+    * — with duplicates `array_intersect` would dedupe where the merge
+    * would pair them up. */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var inter = 0
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** MinHash signature over Carter–Wegman permutations of MATERIALIZED
     * base hashes: out(j) = min_i (A_j·bh_i + B_j) mod p. Arithmetic is
     * the same JVM long multiply/add/mod the Catalyst composition
@@ -126,6 +149,42 @@ case class WinnowFingerprints(child: Expression, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
+}
+
+/** Codegen'd |A∩B| over two DISTINCT-element long-array columns — the
+  * hot half of the Jaccard verify join. Replaces
+  * `size(array_intersect(a, b))`: identical counts on distinct arrays
+  * (every caller builds them via `array_distinct`), no intersection
+  * array or hash structure materialized per pair. The division stays in
+  * Catalyst ([[graft.ext.Dedup.jaccard]]) so null-on-zero-divide and
+  * type-promotion semantics are exactly the composition's. */
+case class IntersectSizeLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_size_long requires array<bigint> on both sides, " +
+          s"got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.intersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigKernels.intersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSizeLong =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd MinHash signature over a base-hash array column. The

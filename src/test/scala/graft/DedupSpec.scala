@@ -30,9 +30,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("jaccard: exact formula on distinct arrays") {
-    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))
     assert(math.abs(df.head.getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("jaccard kernel is bit-identical to the array_intersect composition") {
+    val rnd = new scala.util.Random(17)
+    // random DISTINCT long arrays with forced overlap, plus the edge
+    // shapes: disjoint, identical, sign extremes, one empty side.
+    // (empty/empty throws DIVIDE_BY_ZERO under ANSI in BOTH forms —
+    // production never builds it: band rows filter size > 0)
+    val rows = Seq.fill(200) {
+      val pool = Seq.fill(40)(rnd.nextLong()).distinct
+      val a = rnd.shuffle(pool).take(rnd.nextInt(pool.size) + 1)
+      val b = rnd.shuffle(pool).take(rnd.nextInt(pool.size) + 1)
+      (a, b)
+    } ++ Seq(
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(5L, 6L, 7L), Seq(5L, 6L, 7L)),
+      (Seq(Long.MinValue, Long.MaxValue), Seq(Long.MaxValue)),
+      (Seq.empty[Long], Seq(1L)))
+    val df = rows.toDF("x", "y")
+    val got = df.select(Dedup.jaccard(col("x"), col("y"))).collect()
+      .map(_.getDouble(0))
+    val want = df.select(Dedup.jaccardComposed(col("x"), col("y"))).collect()
+      .map(_.getDouble(0))
+    assert(got.toSeq === want.toSeq)
+    assert(want.last === 0.0)
   }
 
   test("simhash: identical text → hamming 0; different text → far") {
