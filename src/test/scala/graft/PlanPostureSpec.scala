@@ -174,6 +174,14 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q37: the jaccard verify runs the intersect-size kernel, not array_intersect") {
+    val p = plan("q37_ngram_jaccard")
+    assert(p.contains("intersect_size_long"),
+      "q37 lost the IntersectSizeLong kernel")
+    assert(!p.contains("array_intersect"),
+      "q37 fell back to materializing intersection arrays per pair")
+  }
+
   test("q109: the source-mean table broadcasts; the corpus never shuffles to score") {
     val p = plan("q109_embedding_outliers")
     assert(p.contains("BroadcastHashJoin"),
