@@ -53,6 +53,15 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("loading an artifact as the wrong kind fails fast on the meta sidecar") {
+    val dir = Files.createTempDirectory("graft_art_kind_").toString
+    ArtifactStore.saveBloom(Array[Byte](1, 2, 3), dir)
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.loadNearDupIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("not a near-dup index"))
+  }
+
   test("corpus bloom: saved blob loads byte-identical and splits a batch identically") {
     val dir = Files.createTempDirectory("graft_art_bl_").toString
     val corpusKeys = docs(spark).filter(col("doc_id") % 7 =!= 3)

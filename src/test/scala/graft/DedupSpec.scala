@@ -58,6 +58,10 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getDouble(0))
     assert(got.toSeq === want.toSeq)
     assert(want.last === 0.0)
+    // and the SQL registration (GraftExtensions) resolves
+    assert(spark.sql(
+      "SELECT intersect_size_long(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      .head.getInt(0) === 2)
   }
 
   test("simhash: identical text → hamming 0; different text → far") {
