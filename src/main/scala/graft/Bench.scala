@@ -37,8 +37,14 @@ object Bench {
     // truncated: the compact total-only line must be printed LAST (after
     // the big per-query line) or it scrolls out of the tail — which is
     // exactly what nulled the r3/r4 bench parses.
+    GraftSession.close(spark) // release registry-cached standing frames
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // A filtered run reports metric "subset" (plus the filter value), so a
+    // stray SPARK_GRAFT_ONLY in the driver environment can never pass a
+    // partial-suite total off as the official full-bench number.
+    val metric = if (only.isDefined) "subset" else "total"
+    val filterField = only.map(f => s""","filter":"$f"""").getOrElse("")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField}""")
   }
 }

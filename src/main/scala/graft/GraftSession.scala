@@ -29,4 +29,15 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Retire an engine session: evict every standing frame the registry
+    * caches on its behalf (the LSH pair set, IVF cells, admission
+    * bloom/index, funnel stages, ...) so its pinned executor memory is
+    * actually released. A long-lived process that drops one session
+    * (`newSession` clones, notebook rotation) calls this instead of —
+    * or before — `SparkSession.stop`; stopping the whole SparkContext
+    * also works, but only because the sweep on the next build path
+    * reaps stopped sessions, which a still-running context never
+    * triggers for a merely-abandoned session. Returns entries evicted. */
+  def close(s: SparkSession): Int = graft.runtime.FrameCache.evictSession(s)
 }

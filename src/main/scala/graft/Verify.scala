@@ -36,6 +36,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    GraftSession.close(spark) // release registry-cached standing frames
     spark.stop()
   }
 }

@@ -83,7 +83,14 @@ object Dedup {
     * `size(array_intersect(a, b))` on distinct arrays, spec-asserted in
     * DedupSpec, without materializing the intersection array per pair),
     * |A∪B| = |A|+|B|−|A∩B|. The division stays a Catalyst composition
-    * so promotion/zero-divide semantics are unchanged. */
+    * so promotion/zero-divide semantics are unchanged.
+    *
+    * ==SIGNATURE NARROWED (r5)== `array<bigint>` inputs ONLY — the
+    * kernel's analysis-time type check rejects anything else (element
+    * types aren't knowable when this Column is constructed, so dispatch
+    * can't happen here). For string/int/other element types use
+    * [[jaccardAny]], the built-in composition with identical semantics
+    * on any comparable element type. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.IntersectSizeLong(
@@ -92,12 +99,18 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** The built-in composition [[jaccard]] replaced — retained as the
-    * spec's bit-identity baseline. */
-  private[graft] def jaccardComposed(a: Column, b: Column): Column = {
+  /** Jaccard over distinct-element arrays of ANY comparable element
+    * type — the `array_intersect` composition [[jaccard]]'s long-array
+    * kernel replaced (and the spec's bit-identity baseline). Use this
+    * for non-`bigint` element types. */
+  def jaccardAny(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
   }
+
+  /** Alias retained for the kernel specs' bit-identity baseline. */
+  private[graft] def jaccardComposed(a: Column, b: Column): Column =
+    jaccardAny(a, b)
 
   /** Token-hash array for SimHash — materialize as a column before
     * calling [[simhashFromHashes]] (one md5 per token; passing the
@@ -328,34 +341,31 @@ object Dedup {
     * than a ~20-byte string and collisions are negligible at 2^60. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    // spread the per-row hashing/signature work across all cores — a
-    // small input file would otherwise pin the whole scan to one task
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    // cached: the shingle-hash arrays feed the signature lineage AND both
-    // verify joins (3 references) — without materialization every branch
-    // re-runs one md5 per shingle per doc. A cluster-scale pipeline
-    // materializes signatures to storage before the join phase for the
-    // same reason; cache is the in-session analogue.
-    val sh = docs.repartition(par)
-      .withColumn("shs", distinctShingles(col(textCol), shingleN))
-      .withColumn("hs", array_distinct(
-        transform(col("shs"), s => Hashing.md5Long(s))))
-      .select(col(idCol).as("id"), col("hs"))
-      .cache()
-    val sig = sh.filter(size(col("hs")) > 0)
-      .withColumn("bh", transform(col("hs"), x => x % MinhashP))
-      .select(col("id"), minhashSignature(col("bh"), k).as("sig"))
-    val bandRows = sig.select(col("id"),
-      posexplode(lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
-    val cand = pairsFromBuckets(bandRows, Seq("band", "bh"), "id")
+      threshold: Double = 0.8): DataFrame =
+    minhashLshPairsWithLineage(docs, idCol, textCol, shingleN, k, bands,
+      threshold)._1
+
+  /** As [[minhashLshPairs]], additionally returning the internal CACHED
+    * shingle-hash frame the pair lineage references ([[shingleHashFrame]]
+    * — materialized because the hash arrays feed the signature lineage
+    * AND both verify joins; a cluster-scale pipeline persists signatures
+    * before the join phase for the same reason). An owner that registers
+    * the pair frame in an eviction registry must unpersist BOTH on
+    * eviction — dropping only the pair frame leaves this one pinned in
+    * executor memory with nothing left that can release it. */
+  def minhashLshPairsWithLineage(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val sh = shingleHashFrame(docs, idCol, textCol, shingleN, cache = true)
+    val cand = pairsFromBuckets(bandRowsOf(sh, k, bands), Seq("band", "bh"), "id")
     val verified = cand
       .join(sh.select(col("id"), col("hs").as("ha")), col("a_id") === col("id")).drop("id")
       .join(sh.select(col("id"), col("hs").as("hb")), col("b_id") === col("id")).drop("id")
       .filter(sizeRatioGuard(col("ha"), col("hb"), threshold))
       .withColumn("jacc", jaccard(col("ha"), col("hb")))
       .filter(col("jacc") >= threshold)
-    verified.select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+    (verified.select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc")),
+      sh)
   }
 
   /** Sound pre-verify prune: jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/

@@ -73,10 +73,28 @@ object SigKernels {
     * length. Equality of counts relies on the distinct-element
     * precondition (every caller builds the arrays via `array_distinct`)
     * — with duplicates `array_intersect` would dedupe where the merge
-    * would pair them up. */
+    * would pair them up.
+    *
+    * Null ELEMENTS (possible via the session-registered SQL function —
+    * internal callers never produce them) follow `array_intersect`
+    * semantics: nulls compare equal to each other, so a null present on
+    * both sides contributes exactly one intersection element. The
+    * engine's own arrays come from `array_distinct`, so a side carries
+    * at most one null either way. */
   def intersectSize(a: ArrayData, b: ArrayData): Int = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    val (xs, aNull) = nonNullLongs(a)
+    val (ys, bNull) = nonNullLongs(b)
+    mergeCount(xs, ys) + (if (aNull && bNull) 1 else 0)
+  }
+
+  /** Fast path for arrays whose TYPE forbids null elements (the
+    * engine's internal callers — `containsNull=false` is checked at
+    * analysis time by the expression, so the bulk `toLongArray` copy is
+    * safe): no per-element null probes. */
+  def intersectSizeDense(a: ArrayData, b: ArrayData): Int =
+    mergeCount(a.toLongArray(), b.toLongArray())
+
+  private def mergeCount(xs: Array[Long], ys: Array[Long]): Int = {
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var i = 0; var j = 0; var inter = 0
@@ -87,6 +105,20 @@ object SigKernels {
       else j += 1
     }
     inter
+  }
+
+  /** The non-null elements of a long array + whether a null was seen.
+    * `ArrayData.toLongArray` NPEs on null elements, so walk manually. */
+  private def nonNullLongs(a: ArrayData): (Array[Long], Boolean) = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var m = 0; var sawNull = false; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) sawNull = true
+      else { out(m) = a.getLong(i); m += 1 }
+      i += 1
+    }
+    (if (m == n) out else java.util.Arrays.copyOf(out, m), sawNull)
   }
 
   /** MinHash signature over Carter–Wegman permutations of MATERIALIZED
@@ -157,7 +189,15 @@ case class WinnowFingerprints(child: Expression, w: Int)
   * (every caller builds them via `array_distinct`), no intersection
   * array or hash structure materialized per pair. The division stays in
   * Catalyst ([[graft.ext.Dedup.jaccard]]) so null-on-zero-divide and
-  * type-promotion semantics are exactly the composition's. */
+  * type-promotion semantics are exactly the composition's.
+  *
+  * Null elements: accepted (the function is session-registered SQL, so
+  * arbitrary arrays can reach it) with `array_intersect` semantics —
+  * nulls compare equal, contributing one element when present on both
+  * sides. The null-probing walk is paid ONLY when a child's type says
+  * `containsNull=true`; the engine's internal arrays are
+  * `containsNull=false`, selecting the bulk-copy fast path at analysis
+  * time. */
 case class IntersectSizeLong(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -174,13 +214,24 @@ case class IntersectSizeLong(left: Expression, right: Expression)
           s"got ${l.catalogString} / ${r.catalogString}")
     }
 
+  private def kernelName: String = {
+    val dense = Seq(left.dataType, right.dataType).forall {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    }
+    if (dense) "intersectSizeDense" else "intersectSize"
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SigKernels.intersectSize(
+    if (kernelName == "intersectSizeDense")
+      SigKernels.intersectSizeDense(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else SigKernels.intersectSize(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SigKernels.intersectSize($a, $b)")
+      s"graft.functions.SigKernels.$kernelName($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectSizeLong =

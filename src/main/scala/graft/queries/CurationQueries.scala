@@ -43,19 +43,20 @@ object CurationQueries extends QueryPack {
     * driver loop (real jobs, not just a plan), so q61 and q72 must not
     * each pay it — the cluster-scale analogue is materializing the
     * survivor set once per snapshot. */
+  // value = (every frame this entry CACHED, the five stage frames) —
+  // the pair pipeline's internal shingle-hash frame is cached too
+  // (ADVICE r5), so the eviction hook owns the full materialized lineage
   private val funnelCache = graft.runtime.FrameCache.of[
       (SparkSession, String),
-      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)](
+      (Seq[DataFrame], (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame))](
     "curation-funnel", k => Some(k._1))(
-    // only the base docs frame (tuple._1) is cached; the later stages
-    // are plan derivations of it
-    v => { v._1.unpersist(); () })
+    v => v._1.foreach(_.unpersist()))
   private def funnelFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
-    funnelCache.get((s, d))(buildFunnelFrames(s, d))
+    funnelCache.get((s, d))(buildFunnelFrames(s, d))._2
 
   private def buildFunnelFrames(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (Seq[DataFrame], (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)) = {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("predicted", TextAnalysis.langId(col("text")))
@@ -67,13 +68,13 @@ object CurationQueries extends QueryPack {
       .withColumn("minid",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
       .filter(col("doc_id") === col("minid")).drop("minid")
-    val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text",
-      shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+    val (pairs, sh) = Dedup.minhashLshPairsWithLineage(exactKeep, "doc_id",
+      "text", shingleN = 3, k = K, bands = Bands, threshold = 0.8)
     val labels = Dedup.connectedComponents(pairs.select(col("a_id"), col("b_id")))
       .withColumnRenamed("id", "doc_id")
     val nearKeep = exactKeep.join(labels, Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
-    (docs, langKeep, qualKeep, exactKeep, nearKeep)
+    (Seq(docs, sh), (docs, langKeep, qualKeep, exactKeep, nearKeep))
   }
 
   /** Oracle CTE chain reproducing the funnel through `nk` (the near-dup

@@ -42,11 +42,20 @@ object DedupQueries extends QueryPack {
     * band→verify pipeline from the scan (~0.9 s each at sf0.1). The
     * cluster-scale analogue is materializing the pair table to storage
     * once per corpus snapshot and fanning analyses out from it. */
-  private val pairsCache = graft.runtime.FrameCache.frames("dedup-pairs")
+  // value = (cached pair frame, cached internal shingle-hash frame) —
+  // the eviction hook must drop BOTH (ADVICE r5: unpersisting only the
+  // pair frame left the lineage's materialized hash frame pinned)
+  private val pairsCache = graft.runtime.FrameCache.of[
+      (SparkSession, String), (DataFrame, DataFrame)](
+    "dedup-pairs", k => Some(k._1))(
+    v => { v._1.unpersist(); v._2.unpersist(); () })
   private def corpusPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.get((s, d))(
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, k = K, bands = Bands, threshold = 0.8).cache())
+    pairsCache.get((s, d)) {
+      val (pairs, sh) = Dedup.minhashLshPairsWithLineage(
+        Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+      (pairs.cache(), sh)
+    }._1
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -54,32 +54,8 @@ object MultimodalQueries extends QueryPack {
     //      feeds the band explode and both verify joins; at corpus
     //      scale it is the (id, 8-byte hash) sketch, not the media. ----
     "q104_media_dedup" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"))
-      val orig = docs.select(col("doc_id").as("media_id"), col("source"),
-        col("text"), lit(0).as("reenc"))
-      val copies = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + MediaCopyOffset).as("media_id"),
-          col("source"), col("text"),
-          when(col("doc_id") % 14 === 0, 1).otherwise(0).as("reenc"))
-      // memoized+cached per (session, dir) like the other shared
-      // artifacts — repeat invocations (bench best-of-2) reuse one
-      // materialized hash frame instead of stacking cache entries
-      val hashed = dhashCache.get((s, d))(
-        orig.unionByName(copies)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("media_id"), col("source"),
-            col("text").cast("binary").as("content"), col("reenc"))
-          .as[(Long, String, Array[Byte], Int)]
-          .mapPartitions(_.map { case (id, src, bytes, re) =>
-            (id, src, Multimodal.MediaCodec.dhashStub(bytes, re)) })
-          .toDF("media_id", "source", "dhash")
-          .cache())
-      val bands = hashed.select(col("media_id"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("dhash"), b * 15).bitwiseAND(32767)): _*))
-          .as(Seq("band", "v")))
+      val hashed = mediaDhashFrame(s, d)
+      val bands = mediaDhashBands(hashed)
       val cand = Dedup.pairsFromBuckets(bands, Seq("band", "v"), "media_id")
       cand
         .join(hashed.select(col("media_id").as("a_id"),
@@ -102,6 +78,43 @@ object MultimodalQueries extends QueryPack {
   /** q104's decorated+hashed media frame, per (session, dir) — session
     * in the key because a cached DataFrame dies with its session. */
   private val dhashCache = graft.runtime.FrameCache.frames("media-dhash")
+
+  /** The decorated corpus (planted copies, every other one "lossily
+    * re-encoded") dHashed at the codec seam — memoized+cached per
+    * (session, dir) like the other shared artifacts, so repeat
+    * invocations (bench best-of-2) reuse one materialized hash frame
+    * instead of stacking cache entries. Exposed to MultimodalSpec,
+    * which asserts the hot-bucket cap stays VACUOUS at test scale (the
+    * q104 oracle mirrors the cap, so only a never-binding cap keeps the
+    * oracle an independent check of candidate generation). */
+  private[graft] def mediaDhashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val orig = docs.select(col("doc_id").as("media_id"), col("source"),
+      col("text"), lit(0).as("reenc"))
+    val copies = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + MediaCopyOffset).as("media_id"),
+        col("source"), col("text"),
+        when(col("doc_id") % 14 === 0, 1).otherwise(0).as("reenc"))
+    dhashCache.get((s, d))(
+      orig.unionByName(copies)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("media_id"), col("source"),
+          col("text").cast("binary").as("content"), col("reenc"))
+        .as[(Long, String, Array[Byte], Int)]
+        .mapPartitions(_.map { case (id, src, bytes, re) =>
+          (id, src, Multimodal.MediaCodec.dhashStub(bytes, re)) })
+        .toDF("media_id", "source", "dhash")
+        .cache())
+  }
+
+  /** (media_id, band, v) — the 4×15-bit band rows of the dHash frame. */
+  private[graft] def mediaDhashBands(hashed: DataFrame): DataFrame =
+    hashed.select(col("media_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 15).bitwiseAND(32767)): _*))
+        .as(Seq("band", "v")))
 
   override def oracles: Map[String, String] = Map(
     "q43_media_features" ->

@@ -199,13 +199,38 @@ object SimilarityQueries extends QueryPack {
   private val cellsCache = graft.runtime.FrameCache.frames("ivf-cells")
   private def corpusCells(s: SparkSession, d: String): DataFrame =
     cellsCache.get((s, d))({
-      val cents = centroids(s, d)
-      prepped(s, d)
-        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
-        .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
-        .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
-        .cache()
+      import graft.sinks.ArtifactStore
+      ArtifactStore.configuredDir(s, "ivf-index", d) match {
+        case Some(dir) if ArtifactStore.exists(dir) =>
+          // restart path: load cells AND centroids together (the probe
+          // must assign against the exact build-time matrix), seeding
+          // the centroid memo so every IVF consumer shares them
+          val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir,
+            ivfSnapshot(s, d))
+          centCache.put(d, cents)
+          ArtifactStore.lastOrigin("ivf-index") = "loaded"
+          cells
+        case maybeDir =>
+          val cents = centroids(s, d)
+          val cells = prepped(s, d)
+            .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+            .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
+            .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
+            .cache()
+          maybeDir.foreach { dir =>
+            ArtifactStore.saveIvfIndex(cells, cents, dir, ivfSnapshot(s, d))
+            ArtifactStore.lastOrigin("ivf-index") = "built"
+          }
+          cells
+      }
     })
+
+  /** Fingerprint of the raw embedding corpus the IVF artifacts index. */
+  private def ivfSnapshot(s: SparkSession, d: String)
+      : graft.sinks.ArtifactStore.CorpusSnapshot =
+    graft.sinks.ArtifactStore.snapshot(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      Seq("vec_id", "embedding"))
 
   private def buildIvfCandidates(s: SparkSession, d: String): DataFrame =
     ivfCandidatesFrom(corpusCells(s, d), centroids(s, d),
@@ -642,8 +667,11 @@ object SimilarityQueries extends QueryPack {
     //      not change a single answer. ----
     "q111_stream_ann_search" -> ((s, d) => {
       val inDir = annQueryFixture(s, d)
-      val cents = centroids(s, d)
+      // cells BEFORE centroids: on the artifact restart path the index
+      // load seeds the centroid memo — the reverse order would re-train
+      // the matrix the artifact already carries
       val idx = corpusCells(s, d)
+      val cents = centroids(s, d)
       val tmp = Files.createTempDirectory("graft_annq_run_").toString
       val schema = s.read.parquet(inDir).schema
       val q = s.readStream.schema(schema)

@@ -3,8 +3,9 @@ package graft.sinks
 import java.io.{File, FileInputStream, FileOutputStream}
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ext.Dedup
 
@@ -23,6 +24,16 @@ import graft.ext.Dedup
   * EXACTLY the build-time configuration — mismatched parameters are the
   * classic way a restored index silently returns different candidates.
   *
+  * Snapshot identity: every sidecar also pins a [[CorpusSnapshot]]
+  * fingerprint of the corpus the artifact was built FROM, and every
+  * load requires the caller's fingerprint to match. An index loaded
+  * against a corpus it wasn't built on silently mis-admits (a rolled
+  * snapshot is the likeliest 100 TB operator error — the reference
+  * guards the same class of mistake at file level with its md5 dedup
+  * intent, mypy/xmlonly.py:26-40); the fingerprint turns that into a
+  * fail-fast. Both fingerprint components are one cheap aggregate scan
+  * of the corpus — orders cheaper than the index build it gates.
+  *
   * Round-trip fidelity: long/double/array columns survive parquet
   * bit-for-bit, and the sketch blobs are byte-identical — so probes
   * against a loaded artifact return bit-identical answers to probes
@@ -30,11 +41,37 @@ import graft.ext.Dedup
   */
 object ArtifactStore {
 
+  // ---- corpus snapshot fingerprint ----------------------------------
+
+  /** Order-independent identity of a corpus snapshot: row count plus
+    * the sum of per-row xxhash64 over the identifying columns, reduced
+    * mod 2⁶¹−1. Commutative, so any partitioning/ordering of the same
+    * rows fingerprints identically; the decimal intermediate keeps the
+    * sum exact (no ANSI long overflow) at any corpus size. */
+  final case class CorpusSnapshot(rows: Long, hashSum: Long) {
+    override def toString: String = s"(rows=$rows, hashSum=$hashSum)"
+  }
+
+  private val SnapshotMod = java.math.BigInteger.valueOf((1L << 61) - 1)
+
+  /** Fingerprint `corpus` by `cols` (the columns the artifact indexes —
+    * id + content, so both membership and content drift are caught). */
+  def snapshot(corpus: DataFrame, cols: Seq[String]): CorpusSnapshot = {
+    val h = xxhash64(cols.map(col): _*).cast(DecimalType(38, 0))
+    val r = corpus.agg(count(lit(1)), sum(h)).head()
+    val hs = Option(r.getDecimal(1))
+      .map(_.toBigInteger.mod(SnapshotMod).longValueExact).getOrElse(0L)
+    CorpusSnapshot(r.getLong(0), hs)
+  }
+
   // ---- meta sidecar -------------------------------------------------
-  private def writeMeta(dir: String, kv: Map[String, String]): Unit = {
+  private def writeMeta(dir: String, snap: CorpusSnapshot,
+      kv: Map[String, String]): Unit = {
     new File(dir).mkdirs()
     val p = new java.util.Properties()
-    kv.foreach { case (k, v) => p.setProperty(k, v) }
+    (kv + ("snapshotRows" -> snap.rows.toString)
+        + ("snapshotHashSum" -> snap.hashSum.toString))
+      .foreach { case (k, v) => p.setProperty(k, v) }
     val out = new FileOutputStream(s"$dir/meta.properties")
     try p.store(out, null) finally out.close()
   }
@@ -47,23 +84,62 @@ object ArtifactStore {
     p.asScala.toMap
   }
 
+  /** The kind + snapshot gate every load passes through: wrong kind and
+    * wrong corpus both fail fast, before any data is read. */
+  private val KindNames = Map("neardup" -> "a near-dup index",
+    "bloom" -> "a bloom artifact", "ivf" -> "an IVF index")
+  private def checkMeta(dir: String, kind: String,
+      expect: CorpusSnapshot): Map[String, String] = {
+    val m = readMeta(dir)
+    require(m.get("kind").contains(kind),
+      s"$dir is not ${KindNames.getOrElse(kind, s"a $kind artifact")}")
+    val saved = CorpusSnapshot(
+      m("snapshotRows").toLong, m("snapshotHashSum").toLong)
+    require(saved == expect,
+      s"$dir was built from a different corpus snapshot: saved=$saved, " +
+        s"caller's corpus=$expect — rebuild the artifact for this snapshot")
+    m
+  }
+
+  /** True when `dir` holds a persisted artifact (the build-if-absent /
+    * load-if-present branch of the restart seam). */
+  def exists(dir: String): Boolean = new File(s"$dir/meta.properties").isFile
+
+  /** Per-artifact directory under the session's configured root
+    * (`spark.graft.artifactDir`), or None when the session opts out —
+    * the optional restart seam the standing-structure builders consult
+    * (build-if-absent, else load). */
+  def configuredDir(s: SparkSession, kind: String,
+      sfDir: String): Option[String] =
+    s.conf.getOption("spark.graft.artifactDir").map { root =>
+      s"$root/$kind/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    }
+
+  /** Last build-or-load decision per artifact kind — observability for
+    * the restart-path specs (which assert "loaded", not rebuilt). */
+  val lastOrigin = scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---- MinHash-LSH near-dup index (q105's standing corpus index) ----
 
   /** Persist a built [[Dedup.NearDupIndex]]: both member frames as
-    * parquet plus the (k, bands, threshold) build parameters. */
-  def saveNearDupIndex(idx: Dedup.NearDupIndex, dir: String): Unit = {
+    * parquet plus the (k, bands, threshold) build parameters and the
+    * fingerprint of the corpus it indexes. */
+  def saveNearDupIndex(idx: Dedup.NearDupIndex, dir: String,
+      snap: CorpusSnapshot): Unit = {
     idx.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     idx.guardedBands.write.mode("overwrite").parquet(s"$dir/bands")
-    writeMeta(dir, Map("kind" -> "neardup", "k" -> idx.k.toString,
+    writeMeta(dir, snap, Map("kind" -> "neardup", "k" -> idx.k.toString,
       "bands" -> idx.bands.toString, "threshold" -> idx.threshold.toString))
   }
 
   /** Load a persisted near-dup index into `s` (typically a session that
-    * did NOT build it). Member frames are cached on load — the standing-
-    * index lifecycle the build path uses. */
-  def loadNearDupIndex(s: SparkSession, dir: String): Dedup.NearDupIndex = {
-    val m = readMeta(dir)
-    require(m.get("kind").contains("neardup"), s"$dir is not a near-dup index")
+    * did NOT build it); `expect` is the caller's fingerprint of the
+    * corpus it intends to probe against — a mismatch fails fast instead
+    * of silently mis-admitting. Member frames are cached on load — the
+    * standing-index lifecycle the build path uses. */
+  def loadNearDupIndex(s: SparkSession, dir: String,
+      expect: CorpusSnapshot): Dedup.NearDupIndex = {
+    val m = checkMeta(dir, "neardup", expect)
     Dedup.nearDupIndexFromParts(
       s.read.parquet(s"$dir/hashes"),
       s.read.parquet(s"$dir/bands"),
@@ -73,19 +149,35 @@ object ArtifactStore {
   // ---- Corpus bloom (q101's exact-dedup prefilter) ------------------
 
   /** Persist a serialized bloom filter (the one-blob artifact a
-    * streaming admission job rebuilds today on every restart). */
-  def saveBloom(bloom: Array[Byte], dir: String,
-      expectedItems: Long = -1L): Unit = {
+    * streaming admission job rebuilds today on every restart), plus —
+    * when given — the distinct-key frame it was built over (the exact
+    * half of the q101 admission gate, so a restarted process loads both
+    * sides of the standing artifact). */
+  def saveBloom(bloom: Array[Byte], dir: String, snap: CorpusSnapshot,
+      expectedItems: Long = -1L, keys: Option[DataFrame] = None): Unit = {
     new File(dir).mkdirs()
     Files.write(Paths.get(s"$dir/bloom.bin"), bloom)
-    writeMeta(dir, Map("kind" -> "bloom",
-      "expectedItems" -> expectedItems.toString))
+    keys.foreach(_.write.mode("overwrite").parquet(s"$dir/keys"))
+    writeMeta(dir, snap, Map("kind" -> "bloom",
+      "expectedItems" -> expectedItems.toString,
+      "hasKeys" -> keys.isDefined.toString))
   }
 
-  def loadBloom(dir: String): Array[Byte] = {
-    require(readMeta(dir).get("kind").contains("bloom"),
-      s"$dir is not a bloom artifact")
+  def loadBloom(dir: String, expect: CorpusSnapshot): Array[Byte] = {
+    checkMeta(dir, "bloom", expect)
     Files.readAllBytes(Paths.get(s"$dir/bloom.bin"))
+  }
+
+  /** Load both halves of the exact-admission artifact: the distinct-key
+    * frame (cached — it serves every micro-batch's anti join) and the
+    * bloom blob. */
+  def loadBloomKeys(s: SparkSession, dir: String,
+      expect: CorpusSnapshot): (DataFrame, Array[Byte]) = {
+    val m = checkMeta(dir, "bloom", expect)
+    require(m.get("hasKeys").contains("true"),
+      s"$dir was saved without its key frame")
+    (s.read.parquet(s"$dir/keys").cache(),
+      Files.readAllBytes(Paths.get(s"$dir/bloom.bin")))
   }
 
   // ---- IVF inverted index (q50/q111's standing cell index) ----------
@@ -95,7 +187,7 @@ object ArtifactStore {
     * vals) frame — doubles round-trip parquet exactly, so probe-side
     * cell assignment against the loaded centroids is bit-identical. */
   def saveIvfIndex(cells: DataFrame, centroids: Seq[Array[Double]],
-      dir: String): Unit = {
+      dir: String, snap: CorpusSnapshot): Unit = {
     val s = cells.sparkSession
     import s.implicits._
     cells.write.mode("overwrite").parquet(s"$dir/cells")
@@ -103,16 +195,15 @@ object ArtifactStore {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell_idx", "vals")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    writeMeta(dir, Map("kind" -> "ivf", "k" -> centroids.size.toString,
+    writeMeta(dir, snap, Map("kind" -> "ivf", "k" -> centroids.size.toString,
       "dims" -> centroids.headOption.map(_.length).getOrElse(0).toString))
   }
 
   /** Load the IVF artifacts; the cell index is cached on load (it is
     * the frame every probe joins against). */
-  def loadIvfIndex(s: SparkSession, dir: String)
+  def loadIvfIndex(s: SparkSession, dir: String, expect: CorpusSnapshot)
       : (DataFrame, Seq[Array[Double]]) = {
-    val m = readMeta(dir)
-    require(m.get("kind").contains("ivf"), s"$dir is not an IVF index")
+    val m = checkMeta(dir, "ivf", expect)
     val cells = s.read.parquet(s"$dir/cells").cache()
     val cents = s.read.parquet(s"$dir/centroids")
       .orderBy(col("cell_idx")).collect()

@@ -10,6 +10,7 @@ import org.scalatest.BeforeAndAfterAll
 import graft.ext.{BloomPrune, Dedup, Similarity}
 import graft.queries.SimilarityQueries
 import graft.sinks.ArtifactStore
+import graft.sinks.ArtifactStore.CorpusSnapshot
 
 /** The persisted index-artifact lifecycle (VERDICT r4 #5): each
   * standing structure is BUILT and SAVED in one session, then LOADED
@@ -17,7 +18,13 @@ import graft.sinks.ArtifactStore
   * state, so nothing can leak through the in-memory memo caches), and
   * the probe answers must be bit-identical to probing the freshly
   * built artifact. This is the restart story: a 100 TB index is hours
-  * to build and a metadata open to load. */
+  * to build and a metadata open to load.
+  *
+  * r6 additions: every sidecar pins a corpus-snapshot fingerprint and
+  * every load requires a match (an index loaded against a corpus it
+  * wasn't built on must fail fast, not silently mis-admit), and the
+  * q101/q105/q111 query paths themselves load persisted artifacts when
+  * `spark.graft.artifactDir` is set (the restart seam end-to-end). */
 class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.local(4)
 
@@ -29,6 +36,8 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def docs(s: org.apache.spark.sql.SparkSession) =
     s.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
+  private def docsSnapshot(s: org.apache.spark.sql.SparkSession): CorpusSnapshot =
+    ArtifactStore.snapshot(docs(s), Seq("doc_id", "text"))
 
   test("near-dup index: build+save, load+probe in a fresh session — identical pairs") {
     val dir = Files.createTempDirectory("graft_art_nd_").toString
@@ -37,14 +46,14 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val delta = docs(spark).filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val built = Dedup.buildNearDupIndex(docs(spark), "doc_id", "text")
-    ArtifactStore.saveNearDupIndex(built, dir)
+    ArtifactStore.saveNearDupIndex(built, dir, docsSnapshot(spark))
     val want = built.probe(delta, "doc_id", "text")
       .orderBy(col("d_id"), col("c_id")).collect().map(_.toSeq).toSeq
     built.unpersist()
     assert(want.nonEmpty, "probe found no pairs — test would be vacuous")
 
     val fresh = spark.newSession()
-    val loaded = ArtifactStore.loadNearDupIndex(fresh, dir)
+    val loaded = ArtifactStore.loadNearDupIndex(fresh, dir, docsSnapshot(fresh))
     val deltaF = docs(fresh).filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val got = loaded.probe(deltaF, "doc_id", "text")
@@ -55,22 +64,52 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("loading an artifact as the wrong kind fails fast on the meta sidecar") {
     val dir = Files.createTempDirectory("graft_art_kind_").toString
-    ArtifactStore.saveBloom(Array[Byte](1, 2, 3), dir)
+    val snap = CorpusSnapshot(3, 42)
+    ArtifactStore.saveBloom(Array[Byte](1, 2, 3), dir, snap)
     val e = intercept[IllegalArgumentException] {
-      ArtifactStore.loadNearDupIndex(spark, dir)
+      ArtifactStore.loadNearDupIndex(spark, dir, snap)
     }
     assert(e.getMessage.contains("not a near-dup index"))
+  }
+
+  test("loading against a different corpus snapshot fails fast (r6 #1)") {
+    val dir = Files.createTempDirectory("graft_art_snap_").toString
+    // built from corpus A (every doc); the caller's corpus B is a strict
+    // subset — one dropped row must flip the fingerprint and refuse the
+    // load, because probing a stale index silently mis-admits
+    val snapA = docsSnapshot(spark)
+    val corpusB = docs(spark).filter(col("doc_id") =!= 1L)
+    val snapB = ArtifactStore.snapshot(corpusB, Seq("doc_id", "text"))
+    assert(snapA != snapB, "fingerprints collide — test would be vacuous")
+    val built = Dedup.buildNearDupIndex(docs(spark), "doc_id", "text")
+    ArtifactStore.saveNearDupIndex(built, dir, snapA)
+    built.unpersist()
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.loadNearDupIndex(spark, dir, snapB)
+    }
+    assert(e.getMessage.contains("different corpus snapshot"))
+    // same-content corpus under a different row order fingerprints
+    // identically (the sum is commutative): load must succeed
+    val reordered = docs(spark).orderBy(col("text"))
+    val snapA2 = ArtifactStore.snapshot(reordered, Seq("doc_id", "text"))
+    assert(snapA2 == snapA, "fingerprint is order-dependent")
+    ArtifactStore.loadNearDupIndex(spark, dir, snapA2).unpersist()
   }
 
   test("corpus bloom: saved blob loads byte-identical and splits a batch identically") {
     val dir = Files.createTempDirectory("graft_art_bl_").toString
     val corpusKeys = docs(spark).filter(col("doc_id") % 7 =!= 3)
       .select(md5(col("text").cast("binary")).as("ck")).distinct()
+    val snap = ArtifactStore.snapshot(corpusKeys, Seq("ck"))
     val bloom = BloomPrune.buildBloom(corpusKeys, col("ck"), 100000L)
-    ArtifactStore.saveBloom(bloom, dir, 100000L)
+    ArtifactStore.saveBloom(bloom, dir, snap, 100000L)
 
     val fresh = spark.newSession()
-    val loadedBloom = ArtifactStore.loadBloom(dir)
+    val freshSnap = ArtifactStore.snapshot(
+      docs(fresh).filter(col("doc_id") % 7 =!= 3)
+        .select(md5(col("text").cast("binary")).as("ck")).distinct(),
+      Seq("ck"))
+    val loadedBloom = ArtifactStore.loadBloom(dir, freshSnap)
     assert(java.util.Arrays.equals(bloom, loadedBloom),
       "bloom blob changed across save/load")
     // end-to-end: the map-side split a fresh session computes with the
@@ -87,7 +126,11 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("IVF index: build+save, load+search in a fresh session — identical top-k") {
     val dir = Files.createTempDirectory("graft_art_ivf_").toString
     val (cells, cents) = SimilarityQueries.ivfArtifacts(spark, sf)
-    ArtifactStore.saveIvfIndex(cells, cents, dir)
+    val snap = ArtifactStore.snapshot(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      Seq("vec_id", "embedding"))
+    ArtifactStore.saveIvfIndex(cells, cents, dir, snap)
 
     def topk(cand: org.apache.spark.sql.DataFrame) = {
       val w = Window.partitionBy(col("q_id"))
@@ -104,7 +147,7 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "no IVF candidates — test would be vacuous")
 
     val fresh = spark.newSession()
-    val (lCells, lCents) = ArtifactStore.loadIvfIndex(fresh, dir)
+    val (lCells, lCents) = ArtifactStore.loadIvfIndex(fresh, dir, snap)
     assert(lCents.size == cents.size &&
       lCents.zip(cents).forall { case (a, b) => a.sameElements(b) },
       "centroid matrix changed across save/load")
@@ -112,5 +155,41 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       SimilarityQueries.preppedEmbeddings(fresh, sf).filter(probeFilter)))
     lCells.unpersist()
     assert(got == want)
+  }
+
+  // ---- r6 #4: the query paths themselves build-or-load --------------
+
+  /** Runs `name` in two sessions sharing one artifact root: the first
+    * builds AND persists, the second (a restarted process in miniature
+    * — fresh session state, cold FrameCache keys) must LOAD, and the
+    * results must match row-for-row. */
+  private def restartRoundTrip(name: String, originKey: String): Unit = {
+    val root = Files.createTempDirectory("graft_art_root_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    val r1 = SparkEntry.queries(name)(s1, sf).collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get(originKey).contains("built"),
+      s"first run should have built+persisted the $originKey artifact")
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val r2 = SparkEntry.queries(name)(s2, sf).collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get(originKey).contains("loaded"),
+      s"second session should have loaded the persisted $originKey artifact")
+    assert(r2 == r1, s"$name answers changed across the restart seam")
+    GraftSession.close(s1)
+    GraftSession.close(s2)
+  }
+
+  test("q101 restart path: second session loads the persisted bloom artifact") {
+    restartRoundTrip("q101_stream_bloom_dedup", "q101-bloom")
+  }
+
+  test("q105 restart path: second session loads the persisted near-dup index") {
+    restartRoundTrip("q105_stream_neardup_admission", "q105-neardup")
+  }
+
+  test("q111 restart path: second session loads the persisted IVF index") {
+    restartRoundTrip("q111_stream_ann_search", "ivf-index")
   }
 }

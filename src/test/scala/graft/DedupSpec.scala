@@ -64,6 +64,40 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getInt(0) === 2)
   }
 
+  test("intersect_size_long: null ELEMENTS follow array_intersect semantics (ADVICE r5)") {
+    // session-registered SQL, so arbitrary arrays reach the kernel: a
+    // null element must not NPE, and must count exactly as
+    // array_intersect counts it (nulls compare equal — one element when
+    // present on both sides)
+    val cases = Seq(
+      "array(1L, NULL, 2L), array(NULL, 2L, 3L)",   // null both sides
+      "array(1L, NULL), array(2L, 3L)",             // null one side only
+      "array(CAST(NULL AS BIGINT)), array(CAST(NULL AS BIGINT))",
+      "array(NULL, 5L, 6L), array(6L, NULL, 5L)")
+    cases.foreach { args =>
+      val got = spark.sql(s"SELECT intersect_size_long($args)").head.getInt(0)
+      val want = spark.sql(s"SELECT size(array_intersect($args))").head.getInt(0)
+      assert(got === want, s"intersect_size_long($args): $got != $want")
+    }
+    // jaccardAny stays available for non-bigint element types (the
+    // kernel-backed jaccard is documented array<bigint>-only)
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccardAny(col("x"), col("y"))).head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("minhashLshPairsWithLineage: returned hash frame IS the pair lineage's cache") {
+    // the eviction-hook contract (ADVICE r5): unpersisting the returned
+    // sh frame must leave nothing of the pipeline's making pinned
+    val docs = Seq((1L, base), (2L, base + " x"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val (pairs, sh) = Dedup.minhashLshPairsWithLineage(docs, "doc_id", "text")
+    pairs.count() // materialize the internal cache through the pair plan
+    assert(sh.storageLevel.useMemory, "internal hash frame is not cached")
+    sh.unpersist()
+    assert(!sh.storageLevel.useMemory)
+  }
+
   test("simhash: identical text → hamming 0; different text → far") {
     val df = Seq((base, base), (base, "xx yy zz ww vv uu tt ss rr qq"))
       .toDF("a", "b")

@@ -67,4 +67,29 @@ class FrameCacheSpec extends AnyFunSuite {
     cache.evict(_ => true)
     assert(cache.size == 0)
   }
+
+  test("GraftSession.close releases a retired session's standing frames (r6 #2)") {
+    // two registered caches (the multi-cache registry sweep), two
+    // sessions sharing one context — closing one session must unpersist
+    // exactly its frames, across ALL caches, and leave the other's alone
+    val cacheA = FrameCache.frames("spec-close-a")
+    val cacheB = FrameCache.frames("spec-close-b")
+    val retiring = spark.newSession()
+    val surviving = spark.newSession()
+    val r1 = cacheA.get((retiring, "d"))(retiring.range(11).toDF("v").cache())
+    val r2 = cacheB.get((retiring, "d"))(retiring.range(12).toDF("v").cache())
+    val s1 = cacheA.get((surviving, "d"))(surviving.range(13).toDF("v").cache())
+    Seq(r1, r2, s1).foreach(_.count())
+    assert(Seq(r1, r2, s1).forall(_.storageLevel != StorageLevel.NONE))
+
+    assert(GraftSession.close(retiring) >= 2,
+      "teardown missed registry entries owned by the retiring session")
+    assert(r1.storageLevel == StorageLevel.NONE &&
+      r2.storageLevel == StorageLevel.NONE,
+      "retired session's standing frames still pinned after close")
+    assert(s1.storageLevel != StorageLevel.NONE,
+      "close bled into another session's entries")
+    assert(cacheA.size == 1 && cacheB.size == 0)
+    cacheA.evict(_ => true)
+  }
 }

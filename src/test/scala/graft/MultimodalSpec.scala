@@ -42,6 +42,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.map(_.frame_hash).distinct.length === 6)
   }
 
+  test("q104 hot-bucket cap is vacuous at oracle scale (ADVICE r5)") {
+    // the q104 oracle embeds the DefaultMaxBucket guard (needed so engine
+    // and oracle drop the same buckets IF one ever overflows) — which
+    // means the oracle only independently checks candidate generation
+    // while the cap never binds. Pin that: at the sf the driver runs the
+    // oracle at, the fullest band bucket must sit far below the cap.
+    val hashed = graft.queries.MultimodalQueries.mediaDhashFrame(
+      spark, "/root/testdata/sf0.01")
+    val occ = graft.queries.MultimodalQueries.mediaDhashBands(hashed)
+      .groupBy(col("band"), col("v")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(occ >= 2, "no bucket holds a pair — q104 candidates would be empty")
+    assert(occ < graft.ext.Dedup.DefaultMaxBucket / 10,
+      s"fullest q104 bucket ($occ) is within 10x of the cap " +
+        s"(${graft.ext.Dedup.DefaultMaxBucket}) — the oracle's embedded " +
+        "guard is no longer vacuous; give the oracle an independent check")
+  }
+
   test("dhashStub: re-encode moves <=4 bits, none in bands 1 and 3") {
     // the q104 banding guarantee: perturbing pixels 7 and 31 can only
     // touch dhash bits {6,7} and {30,31} — all inside bands 0 (bits
