@@ -56,6 +56,10 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loaded = ArtifactStore.loadNearDupIndex(fresh, dir, docsSnapshot(fresh))
     val deltaF = docs(fresh).filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val probePlan = loaded.probe(deltaF, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("InMemoryTableScan"),
+      "loaded index probes re-scan parquet instead of the cached standing frames")
     val got = loaded.probe(deltaF, "doc_id", "text")
       .orderBy(col("d_id"), col("c_id")).collect().map(_.toSeq).toSeq
     loaded.unpersist()
