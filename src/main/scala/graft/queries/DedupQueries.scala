@@ -57,6 +57,16 @@ object DedupQueries extends QueryPack {
       (pairs.cache(), sh)
     }._1
 
+  /** Per-(session, dir) single-query scratch frames (q37's shingle-hash
+    * frame, q76's) — registered so teardown eviction releases them: a
+    * bare per-invocation `.cache()` pins the frame for the session's
+    * lifetime with no owner (the r5-ADVICE leak class; CacheManager
+    * plan-dedup keeps repeat invocations to ONE entry, but nothing
+    * could ever drop it). */
+  private val scratchCache = graft.runtime.FrameCache.of[
+      (SparkSession, String, String), DataFrame](
+    "dedup-scratch", k => Some(k._1))(v => { v.unpersist(); () })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Exact + canonical (bag-of-words) dedup via hash groupBy ----
@@ -144,10 +154,11 @@ object DedupQueries extends QueryPack {
     "q37_ngram_jaccard" -> ((s, d) => {
       // cached: the shingle-hash frame feeds the distinct-hash branch and
       // the fingerprint branch — uncached, each re-runs the md5 scan
-      val hsh = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
-        .cache()
+      val hsh = scratchCache.get((s, d, "q37-hsh"))(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
+          .cache())
       val sh = hsh.select(col("doc_id"), array_distinct(col("h")).as("hs"))
       val fps = hsh.select(col("doc_id"),
         explode(TextAnalysis.fingerprintsFromHashes(col("h"), 4)).as("fp"))
@@ -181,12 +192,13 @@ object DedupQueries extends QueryPack {
     //      evaluation hash-compares EXACTLY. ----
     "q76_minhash_decision" -> ((s, d) => {
       val par = s.sparkContext.defaultParallelism
-      val sh = Tables.documents(s, d).repartition(par)
-        .withColumn("shs", Dedup.distinctShingles(col("text"), 3))
-        .withColumn("hs", array_distinct(
-          transform(col("shs"), x => Hashing.md5Long(x))))
-        .select(col("doc_id").as("id"), col("hs"))
-        .cache()
+      val sh = scratchCache.get((s, d, "q76-sh"))(
+        Tables.documents(s, d).repartition(par)
+          .withColumn("shs", Dedup.distinctShingles(col("text"), 3))
+          .withColumn("hs", array_distinct(
+            transform(col("shs"), x => Hashing.md5Long(x))))
+          .select(col("doc_id").as("id"), col("hs"))
+          .cache())
       val sig = sh.filter(size(col("hs")) > 0)
         .withColumn("bh", transform(col("hs"), x => x % Dedup.MinhashP))
         .select(col("id"), Dedup.minhashSignature(col("bh"), K).as("sig"))
