@@ -43,7 +43,15 @@ object Bench {
     // stray SPARK_GRAFT_ONLY in the driver environment can never pass a
     // partial-suite total off as the official full-bench number.
     val metric = if (only.isDefined) "subset" else "total"
-    val filterField = only.map(f => s""","filter":"$f"""").getOrElse("")
+    // JSON-escape the filter (env-supplied): a quote/backslash/control
+    // char would otherwise corrupt the one line this run exists to emit
+    def esc(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val filterField = only.map(f => s""","filter":"${esc(f)}"""").getOrElse("")
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField}""")
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField}""")
   }

@@ -339,24 +339,37 @@ object Dedup {
     * The verify step compares DISTINCT 60-bit shingle-hash arrays, not
     * shingle strings — an 8-byte element shuffles/intersects far cheaper
     * than a ~20-byte string and collisions are negligible at 2^60. */
+  /** Convenience one-shot entry point — builds WITHOUT caching the
+    * internal shingle-hash frame, so it leaves nothing pinned behind
+    * (the frame's three lineage references each recompute the map-side
+    * hashing). Long-lived owners should use
+    * [[minhashLshPairsWithLineage]] instead: it materializes the hash
+    * frame once and hands the caller its eviction handle. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame =
-    minhashLshPairsWithLineage(docs, idCol, textCol, shingleN, k, bands,
-      threshold)._1
+    pairsCore(docs, idCol, textCol, shingleN, k, bands, threshold,
+      cache = false)._1
 
-  /** As [[minhashLshPairs]], additionally returning the internal CACHED
-    * shingle-hash frame the pair lineage references ([[shingleHashFrame]]
-    * — materialized because the hash arrays feed the signature lineage
-    * AND both verify joins; a cluster-scale pipeline persists signatures
-    * before the join phase for the same reason). An owner that registers
-    * the pair frame in an eviction registry must unpersist BOTH on
-    * eviction — dropping only the pair frame leaves this one pinned in
-    * executor memory with nothing left that can release it. */
+  /** As [[minhashLshPairs]], but the internal shingle-hash frame is
+    * CACHED ([[shingleHashFrame]] — materialized because the hash
+    * arrays feed the signature lineage AND both verify joins; a
+    * cluster-scale pipeline persists signatures before the join phase
+    * for the same reason) and returned alongside the pairs. An owner
+    * that registers the pair frame in an eviction registry must
+    * unpersist BOTH on eviction — dropping only the pair frame leaves
+    * this one pinned in executor memory with nothing left that can
+    * release it. */
   def minhashLshPairsWithLineage(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): (DataFrame, DataFrame) = {
-    val sh = shingleHashFrame(docs, idCol, textCol, shingleN, cache = true)
+      threshold: Double = 0.8): (DataFrame, DataFrame) =
+    pairsCore(docs, idCol, textCol, shingleN, k, bands, threshold,
+      cache = true)
+
+  private def pairsCore(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      cache: Boolean): (DataFrame, DataFrame) = {
+    val sh = shingleHashFrame(docs, idCol, textCol, shingleN, cache)
     val cand = pairsFromBuckets(bandRowsOf(sh, k, bands), Seq("band", "bh"), "id")
     val verified = cand
       .join(sh.select(col("id"), col("hs").as("ha")), col("a_id") === col("id")).drop("id")

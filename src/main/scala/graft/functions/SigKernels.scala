@@ -214,18 +214,19 @@ case class IntersectSizeLong(left: Expression, right: Expression)
           s"got ${l.catalogString} / ${r.catalogString}")
     }
 
-  private def kernelName: String = {
-    val dense = Seq(left.dataType, right.dataType).forall {
+  // resolved once per expression instance, not per row (interpreted
+  // eval calls nullSafeEval per pair — the kernel's hot path)
+  @transient private lazy val dense: Boolean =
+    Seq(left.dataType, right.dataType).forall {
       case ArrayType(_, containsNull) => !containsNull
       case _ => false
     }
+  private def kernelName: String =
     if (dense) "intersectSizeDense" else "intersectSize"
-  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    if (kernelName == "intersectSizeDense")
-      SigKernels.intersectSizeDense(
-        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (dense) SigKernels.intersectSizeDense(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     else SigKernels.intersectSize(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

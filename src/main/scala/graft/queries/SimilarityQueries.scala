@@ -90,12 +90,27 @@ object SimilarityQueries extends QueryPack {
 
   /** Trained IVF centroids, memoized per data dir — training is
     * deterministic, so q50/q57/q59 (and repeated bench runs) share one
-    * training pass instead of re-running Lloyd each time. */
+    * training pass instead of re-running Lloyd each time. When a
+    * persisted IVF artifact exists for the session, the FIRST centroid
+    * consumer routes through [[corpusCells]] so the artifact's
+    * build-time matrix seeds this memo — without this, an IVF query
+    * that touches centroids before cells (q69/q73/q79) would re-run
+    * Lloyd training in a restarted process even though the artifact
+    * carries the matrix. */
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
-  private def centroids(s: SparkSession, d: String): Seq[Array[Double]] =
+  private def trainCentroids(s: SparkSession, d: String): Seq[Array[Double]] =
     centCache.getOrElseUpdate(d, Similarity.trainKmeans(
       prepped(s, d).filter(col("vec_id") % 2 === 0), IvfK, IvfIters, Dims))
+  private def centroids(s: SparkSession, d: String): Seq[Array[Double]] =
+    centCache.getOrElse(d, {
+      import graft.sinks.ArtifactStore
+      if (ArtifactStore.configuredDir(s, "ivf-index", d)
+          .exists(ArtifactStore.exists)) {
+        corpusCells(s, d) // load (or rebuild) seeds the memo
+        centCache.getOrElse(d, trainCentroids(s, d))
+      } else trainCentroids(s, d)
+    })
 
   /** Trained PQ codebooks, memoized per data dir (plain doubles — not
     * session-bound, same lifecycle as [[centroids]]). */
@@ -200,30 +215,44 @@ object SimilarityQueries extends QueryPack {
   private def corpusCells(s: SparkSession, d: String): DataFrame =
     cellsCache.get((s, d))({
       import graft.sinks.ArtifactStore
-      ArtifactStore.configuredDir(s, "ivf-index", d) match {
+      val dirOpt = ArtifactStore.configuredDir(s, "ivf-index", d)
+      // trainCentroids, NOT centroids: the public accessor consults the
+      // artifact dir and would recurse back into this build
+      def build(origin: String): DataFrame = {
+        val cents = trainCentroids(s, d)
+        val cells = prepped(s, d)
+          .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+          .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
+          .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
+          .cache()
+        dirOpt.foreach { dir =>
+          ArtifactStore.saveIvfIndex(cells, cents, dir, ivfSnapshot(s, d))
+          ArtifactStore.lastOrigin("ivf-index") = origin
+        }
+        cells
+      }
+      dirOpt match {
         case Some(dir) if ArtifactStore.exists(dir) =>
           // restart path: load cells AND centroids together (the probe
           // must assign against the exact build-time matrix), seeding
-          // the centroid memo so every IVF consumer shares them
-          val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir,
-            ivfSnapshot(s, d))
-          centCache.put(d, cents)
-          ArtifactStore.lastOrigin("ivf-index") = "loaded"
-          cells
-        case maybeDir =>
-          val cents = centroids(s, d)
-          val cells = prepped(s, d)
-            .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
-            .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
-            .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
-            .cache()
-          maybeDir.foreach { dir =>
-            ArtifactStore.saveIvfIndex(cells, cents, dir, ivfSnapshot(s, d))
-            ArtifactStore.lastOrigin("ivf-index") = "built"
+          // the centroid memo so every IVF consumer shares them. A
+          // stale artifact (rolled corpus) rebuilds instead of wedging.
+          try {
+            val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir,
+              ivfSnapshot(s, d))
+            centCache.put(d, cents)
+            ArtifactStore.lastOrigin("ivf-index") = "loaded"
+            cells
+          } catch { case e: IllegalArgumentException =>
+            ivfLog.warn(s"stale/incompatible IVF artifact at $dir " +
+              s"(${e.getMessage}) — rebuilding for the current snapshot")
+            build("rebuilt")
           }
-          cells
+        case _ => build("built")
       }
     })
+
+  private lazy val ivfLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Fingerprint of the raw embedding corpus the IVF artifacts index. */
   private def ivfSnapshot(s: SparkSession, d: String)

@@ -76,6 +76,8 @@ object StreamingQueries extends QueryPack {
     * (and unpersisting) per invocation, as these queries did before r5,
     * re-pays the corpus fold on every run. FrameCache's eviction hooks
     * are the drop-the-snapshot lifecycle. */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val bloomCache = graft.runtime.FrameCache.of[
       (SparkSession, String), (DataFrame, Array[Byte])](
     "q101-corpus-bloom", k => Some(k._1))(v => { v._1.unpersist(); () })
@@ -86,25 +88,36 @@ object StreamingQueries extends QueryPack {
         .filter(col("doc_id") % 7 =!= 3)
         .select(md5(col("text").cast("binary")).as("ck"))
         .distinct()
-      ArtifactStore.configuredDir(s, "q101-bloom", d) match {
+      val dirOpt = ArtifactStore.configuredDir(s, "q101-bloom", d)
+      // fingerprint THIS session's corpus once (one cheap aggregate);
+      // it gates the load AND stamps the save
+      lazy val snap = ArtifactStore.snapshot(corpusKeys, Seq("ck"))
+      def build(origin: String): (DataFrame, Array[Byte]) = {
+        val keys = corpusKeys.cache()
+        val bloom = graft.ext.BloomPrune.buildBloom(
+          keys, col("ck"), expectedItems = 1000000L)
+        dirOpt.foreach { dir =>
+          ArtifactStore.saveBloom(bloom, dir, snap, 1000000L,
+            keys = Some(keys))
+          ArtifactStore.lastOrigin("q101-bloom") = origin
+        }
+        (keys, bloom)
+      }
+      dirOpt match {
         case Some(dir) if ArtifactStore.exists(dir) =>
-          // restart path: fingerprint THIS session's corpus (one cheap
-          // aggregate) and load the persisted artifact it gates — the
-          // corpus fold and the bloom treeAggregate are both skipped
-          val snap = ArtifactStore.snapshot(corpusKeys, Seq("ck"))
-          ArtifactStore.lastOrigin("q101-bloom") = "loaded"
-          ArtifactStore.loadBloomKeys(s, dir, snap)
-        case maybeDir =>
-          val keys = corpusKeys.cache()
-          val bloom = graft.ext.BloomPrune.buildBloom(
-            keys, col("ck"), expectedItems = 1000000L)
-          maybeDir.foreach { dir =>
-            ArtifactStore.saveBloom(bloom, dir,
-              ArtifactStore.snapshot(keys, Seq("ck")), 1000000L,
-              keys = Some(keys))
-            ArtifactStore.lastOrigin("q101-bloom") = "built"
+          // restart path: load skips the corpus fold AND the bloom
+          // treeAggregate. A STALE artifact (rolled corpus snapshot)
+          // must not wedge the pipeline: rebuild and overwrite it.
+          try {
+            val r = ArtifactStore.loadBloomKeys(s, dir, snap)
+            ArtifactStore.lastOrigin("q101-bloom") = "loaded"
+            r
+          } catch { case e: IllegalArgumentException =>
+            log.warn(s"stale/incompatible bloom artifact at $dir " +
+              s"(${e.getMessage}) — rebuilding for the current snapshot")
+            build("rebuilt")
           }
-          (keys, bloom)
+        case _ => build("built")
       }
     }
 
@@ -117,19 +130,28 @@ object StreamingQueries extends QueryPack {
       import graft.sinks.ArtifactStore
       val corpus = Tables.documents(s, d).filter(col("doc_id") % 9 =!= 4)
         .select(col("doc_id"), col("text"))
-      ArtifactStore.configuredDir(s, "q105-neardup", d) match {
+      val dirOpt = ArtifactStore.configuredDir(s, "q105-neardup", d)
+      lazy val snap = ArtifactStore.snapshot(corpus, Seq("doc_id", "text"))
+      def build(origin: String): graft.ext.Dedup.NearDupIndex = {
+        val idx = graft.ext.Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+        dirOpt.foreach { dir =>
+          ArtifactStore.saveNearDupIndex(idx, dir, snap)
+          ArtifactStore.lastOrigin("q105-neardup") = origin
+        }
+        idx
+      }
+      dirOpt match {
         case Some(dir) if ArtifactStore.exists(dir) =>
-          val snap = ArtifactStore.snapshot(corpus, Seq("doc_id", "text"))
-          ArtifactStore.lastOrigin("q105-neardup") = "loaded"
-          ArtifactStore.loadNearDupIndex(s, dir, snap)
-        case maybeDir =>
-          val idx = graft.ext.Dedup.buildNearDupIndex(corpus, "doc_id", "text")
-          maybeDir.foreach { dir =>
-            ArtifactStore.saveNearDupIndex(idx, dir,
-              ArtifactStore.snapshot(corpus, Seq("doc_id", "text")))
-            ArtifactStore.lastOrigin("q105-neardup") = "built"
+          try {
+            val r = ArtifactStore.loadNearDupIndex(s, dir, snap)
+            ArtifactStore.lastOrigin("q105-neardup") = "loaded"
+            r
+          } catch { case e: IllegalArgumentException =>
+            log.warn(s"stale/incompatible near-dup index at $dir " +
+              s"(${e.getMessage}) — rebuilding for the current snapshot")
+            build("rebuilt")
           }
-          idx
+        case _ => build("built")
       }
     }
 

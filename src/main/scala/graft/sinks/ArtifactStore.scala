@@ -93,10 +93,13 @@ object ArtifactStore {
     val m = readMeta(dir)
     require(m.get("kind").contains(kind),
       s"$dir is not ${KindNames.getOrElse(kind, s"a $kind artifact")}")
-    val saved = CorpusSnapshot(
-      m("snapshotRows").toLong, m("snapshotHashSum").toLong)
-    require(saved == expect,
-      s"$dir was built from a different corpus snapshot: saved=$saved, " +
+    val saved = for (r <- m.get("snapshotRows"); h <- m.get("snapshotHashSum"))
+      yield CorpusSnapshot(r.toLong, h.toLong)
+    require(saved.isDefined,
+      s"$dir carries no corpus fingerprint (pre-fingerprint sidecar) — " +
+        "rebuild the artifact for this snapshot")
+    require(saved.contains(expect),
+      s"$dir was built from a different corpus snapshot: saved=${saved.get}, " +
         s"caller's corpus=$expect — rebuild the artifact for this snapshot")
     m
   }
@@ -112,7 +115,12 @@ object ArtifactStore {
   def configuredDir(s: SparkSession, kind: String,
       sfDir: String): Option[String] =
     s.conf.getOption("spark.graft.artifactDir").map { root =>
-      s"$root/$kind/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      // readable sanitized name + a hash of the RAW path: sanitization
+      // alone is lossy ("/data/sf0.1" and "/data_sf0.1" collide), and a
+      // collision under one root makes the second corpus permanently
+      // fail the other's snapshot gate
+      val hash = Integer.toHexString(sfDir.hashCode)
+      s"$root/$kind/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_$hash"
     }
 
   /** Last build-or-load decision per artifact kind — observability for

@@ -189,6 +189,49 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     restartRoundTrip("q101_stream_bloom_dedup", "q101-bloom")
   }
 
+  test("stale artifact in the configured dir is rebuilt and overwritten, not fatal") {
+    // the rolled-snapshot case: an artifact for SOME OTHER corpus sits
+    // where the query expects its own. The snapshot gate must reject it
+    // — and the query-path seam must then rebuild for the current
+    // corpus and overwrite, never wedge the pipeline on the stale file.
+    val root = Files.createTempDirectory("graft_art_stale_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    val dir = ArtifactStore.configuredDir(s1, "q101-bloom", sf).get
+    val bogus = docs(spark).limit(3)
+      .select(md5(col("text").cast("binary")).as("ck")).distinct()
+    ArtifactStore.saveBloom(BloomPrune.buildBloom(bogus, col("ck"), 10L),
+      dir, CorpusSnapshot(3, 999), 10L, keys = Some(bogus))
+
+    val r1 = SparkEntry.queries("q101_stream_bloom_dedup")(s1, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q101-bloom").contains("rebuilt"),
+      "stale artifact should have been rebuilt for the current snapshot")
+    // the overwritten artifact is now the current corpus's: loads clean
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val r2 = SparkEntry.queries("q101_stream_bloom_dedup")(s2, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q101-bloom").contains("loaded"))
+    assert(r2 == r1)
+    GraftSession.close(s1)
+    GraftSession.close(s2)
+  }
+
+  test("pre-fingerprint sidecar fails with the rebuild hint, not a key error") {
+    val dir = Files.createTempDirectory("graft_art_prefp_").toString
+    val p = new java.util.Properties()
+    p.setProperty("kind", "bloom"); p.setProperty("expectedItems", "-1")
+    val out = new java.io.FileOutputStream(s"$dir/meta.properties")
+    try p.store(out, null) finally out.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bloom.bin"), Array[Byte](1))
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.loadBloom(dir, CorpusSnapshot(1, 1))
+    }
+    assert(e.getMessage.contains("no corpus fingerprint"))
+  }
+
   test("q105 restart path: second session loads the persisted near-dup index") {
     restartRoundTrip("q105_stream_neardup_admission", "q105-neardup")
   }
