@@ -243,10 +243,12 @@ object SimilarityQueries extends QueryPack {
             centCache.put(d, cents)
             ArtifactStore.lastOrigin("ivf-index") = "loaded"
             cells
-          } catch { case e: IllegalArgumentException =>
-            ivfLog.warn(s"stale/incompatible IVF artifact at $dir " +
-              s"(${e.getMessage}) — rebuilding for the current snapshot")
-            build("rebuilt")
+          } catch {
+            case e @ (_: IllegalArgumentException
+                | _: java.io.FileNotFoundException) =>
+              ivfLog.warn(s"stale/incompatible IVF artifact at $dir " +
+                s"(${e.getMessage}) — rebuilding for the current snapshot")
+              build("rebuilt")
           }
         case _ => build("built")
       }

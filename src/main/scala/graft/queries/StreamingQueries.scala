@@ -112,10 +112,12 @@ object StreamingQueries extends QueryPack {
             val r = ArtifactStore.loadBloomKeys(s, dir, snap)
             ArtifactStore.lastOrigin("q101-bloom") = "loaded"
             r
-          } catch { case e: IllegalArgumentException =>
-            log.warn(s"stale/incompatible bloom artifact at $dir " +
-              s"(${e.getMessage}) — rebuilding for the current snapshot")
-            build("rebuilt")
+          } catch {
+            case e @ (_: IllegalArgumentException
+                | _: java.io.FileNotFoundException) =>
+              log.warn(s"stale/incompatible bloom artifact at $dir " +
+                s"(${e.getMessage}) — rebuilding for the current snapshot")
+              build("rebuilt")
           }
         case _ => build("built")
       }
@@ -146,10 +148,12 @@ object StreamingQueries extends QueryPack {
             val r = ArtifactStore.loadNearDupIndex(s, dir, snap)
             ArtifactStore.lastOrigin("q105-neardup") = "loaded"
             r
-          } catch { case e: IllegalArgumentException =>
-            log.warn(s"stale/incompatible near-dup index at $dir " +
-              s"(${e.getMessage}) — rebuilding for the current snapshot")
-            build("rebuilt")
+          } catch {
+            case e @ (_: IllegalArgumentException
+                | _: java.io.FileNotFoundException) =>
+              log.warn(s"stale/incompatible near-dup index at $dir " +
+                s"(${e.getMessage}) — rebuilding for the current snapshot")
+              build("rebuilt")
           }
         case _ => build("built")
       }

@@ -1,7 +1,7 @@
 package graft.sinks
 
-import java.io.{File, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,6 +38,13 @@ import graft.ext.Dedup
   * bit-for-bit, and the sketch blobs are byte-identical — so probes
   * against a loaded artifact return bit-identical answers to probes
   * against the freshly built one (asserted in ArtifactLifecycleSpec).
+  *
+  * Durability: every save stages into a sibling dir and swaps it in by
+  * rename ([[commitDir]]) — a reader never sees a half-written
+  * artifact, and a crashed writer leaves the prior artifact untouched.
+  * All IO (parquet members, blobs, the sidecar) goes through the
+  * Hadoop FileSystem API, so an artifact root on HDFS or a mounted
+  * cluster FS behaves identically to a local dir.
   */
 object ArtifactStore {
 
@@ -64,21 +71,59 @@ object ArtifactStore {
     CorpusSnapshot(r.getLong(0), hs)
   }
 
+  // ---- filesystem seam ----------------------------------------------
+  // Every byte of an artifact — parquet members, sketch blobs, the meta
+  // sidecar — goes through the Hadoop FileSystem API, so an artifact
+  // root on HDFS (or any mounted cluster FS) works the same as a local
+  // dir, matching FileLifecycle's posture.
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Commit `dir` as a unit: `write` fills a sibling staging dir, which
+    * is then swapped in with two directory renames (atomic on local and
+    * HDFS-like filesystems). A concurrent reader never observes a
+    * half-written artifact at `dir` — it sees the prior artifact, no
+    * artifact (the instant between the renames, which the query seams'
+    * rebuild fallback already tolerates), or the complete new one. A
+    * writer that crashes mid-stage leaves `dir` untouched; its orphaned
+    * staging dir is invisible to [[exists]] and reclaimed by the next
+    * save. */
+  private[graft] def commitDir(dir: String)(write: String => Unit): Unit = {
+    val target = new Path(dir)
+    val fs = fsOf(target)
+    fs.mkdirs(target.getParent)
+    val staging = new Path(target.getParent, s".${target.getName}.staging")
+    fs.delete(staging, true)
+    write(staging.toString)
+    val retired = new Path(target.getParent, s".${target.getName}.old")
+    fs.delete(retired, true)
+    if (fs.exists(target))
+      require(fs.rename(target, retired), s"could not retire $target")
+    require(fs.rename(staging, target),
+      s"could not commit $staging -> $target")
+    fs.delete(retired, true)
+  }
+
   // ---- meta sidecar -------------------------------------------------
   private def writeMeta(dir: String, snap: CorpusSnapshot,
       kv: Map[String, String]): Unit = {
-    new File(dir).mkdirs()
     val p = new java.util.Properties()
     (kv + ("snapshotRows" -> snap.rows.toString)
         + ("snapshotHashSum" -> snap.hashSum.toString))
       .foreach { case (k, v) => p.setProperty(k, v) }
-    val out = new FileOutputStream(s"$dir/meta.properties")
+    val path = new Path(s"$dir/meta.properties")
+    val out = fsOf(path).create(path, true)
     try p.store(out, null) finally out.close()
   }
 
   private def readMeta(dir: String): Map[String, String] = {
     val p = new java.util.Properties()
-    val in = new FileInputStream(s"$dir/meta.properties")
+    val path = new Path(s"$dir/meta.properties")
+    val in = fsOf(path).open(path)
     try p.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
     p.asScala.toMap
@@ -105,8 +150,14 @@ object ArtifactStore {
   }
 
   /** True when `dir` holds a persisted artifact (the build-if-absent /
-    * load-if-present branch of the restart seam). */
-  def exists(dir: String): Boolean = new File(s"$dir/meta.properties").isFile
+    * load-if-present branch of the restart seam). The sidecar is the
+    * commit marker: a crashed or in-flight save has no sidecar at `dir`
+    * (it stages everything in a sibling), so this never says yes to a
+    * partial artifact. */
+  def exists(dir: String): Boolean = {
+    val p = new Path(s"$dir/meta.properties")
+    fsOf(p).isFile(p)
+  }
 
   /** Per-artifact directory under the session's configured root
     * (`spark.graft.artifactDir`), or None when the session opts out —
@@ -133,10 +184,10 @@ object ArtifactStore {
     * parquet plus the (k, bands, threshold) build parameters and the
     * fingerprint of the corpus it indexes. */
   def saveNearDupIndex(idx: Dedup.NearDupIndex, dir: String,
-      snap: CorpusSnapshot): Unit = {
-    idx.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
-    idx.guardedBands.write.mode("overwrite").parquet(s"$dir/bands")
-    writeMeta(dir, snap, Map("kind" -> "neardup", "k" -> idx.k.toString,
+      snap: CorpusSnapshot): Unit = commitDir(dir) { st =>
+    idx.hashes.write.mode("overwrite").parquet(s"$st/hashes")
+    idx.guardedBands.write.mode("overwrite").parquet(s"$st/bands")
+    writeMeta(st, snap, Map("kind" -> "neardup", "k" -> idx.k.toString,
       "bands" -> idx.bands.toString, "threshold" -> idx.threshold.toString))
   }
 
@@ -162,18 +213,34 @@ object ArtifactStore {
     * half of the q101 admission gate, so a restarted process loads both
     * sides of the standing artifact). */
   def saveBloom(bloom: Array[Byte], dir: String, snap: CorpusSnapshot,
-      expectedItems: Long = -1L, keys: Option[DataFrame] = None): Unit = {
-    new File(dir).mkdirs()
-    Files.write(Paths.get(s"$dir/bloom.bin"), bloom)
-    keys.foreach(_.write.mode("overwrite").parquet(s"$dir/keys"))
-    writeMeta(dir, snap, Map("kind" -> "bloom",
-      "expectedItems" -> expectedItems.toString,
-      "hasKeys" -> keys.isDefined.toString))
+      expectedItems: Long = -1L, keys: Option[DataFrame] = None): Unit =
+    commitDir(dir) { st =>
+      writeBlob(s"$st/bloom.bin", bloom)
+      keys.foreach(_.write.mode("overwrite").parquet(s"$st/keys"))
+      writeMeta(st, snap, Map("kind" -> "bloom",
+        "expectedItems" -> expectedItems.toString,
+        "hasKeys" -> keys.isDefined.toString))
+    }
+
+  private def writeBlob(path: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val out = fsOf(p).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBlob(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
   }
 
   def loadBloom(dir: String, expect: CorpusSnapshot): Array[Byte] = {
     checkMeta(dir, "bloom", expect)
-    Files.readAllBytes(Paths.get(s"$dir/bloom.bin"))
+    readBlob(s"$dir/bloom.bin")
   }
 
   /** Load both halves of the exact-admission artifact: the distinct-key
@@ -184,8 +251,7 @@ object ArtifactStore {
     val m = checkMeta(dir, "bloom", expect)
     require(m.get("hasKeys").contains("true"),
       s"$dir was saved without its key frame")
-    (s.read.parquet(s"$dir/keys").cache(),
-      Files.readAllBytes(Paths.get(s"$dir/bloom.bin")))
+    (s.read.parquet(s"$dir/keys").cache(), readBlob(s"$dir/bloom.bin"))
   }
 
   // ---- IVF inverted index (q50/q111's standing cell index) ----------
@@ -195,15 +261,15 @@ object ArtifactStore {
     * vals) frame — doubles round-trip parquet exactly, so probe-side
     * cell assignment against the loaded centroids is bit-identical. */
   def saveIvfIndex(cells: DataFrame, centroids: Seq[Array[Double]],
-      dir: String, snap: CorpusSnapshot): Unit = {
+      dir: String, snap: CorpusSnapshot): Unit = commitDir(dir) { st =>
     val s = cells.sparkSession
     import s.implicits._
-    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    cells.write.mode("overwrite").parquet(s"$st/cells")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell_idx", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    writeMeta(dir, snap, Map("kind" -> "ivf", "k" -> centroids.size.toString,
+      .coalesce(1).write.mode("overwrite").parquet(s"$st/centroids")
+    writeMeta(st, snap, Map("kind" -> "ivf", "k" -> centroids.size.toString,
       "dims" -> centroids.headOption.map(_.length).getOrElse(0).toString))
   }
 

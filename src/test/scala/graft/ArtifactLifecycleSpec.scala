@@ -232,6 +232,32 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no corpus fingerprint"))
   }
 
+  test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
+    val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
+    val snap = CorpusSnapshot(7, 77)
+    ArtifactStore.saveBloom(Array[Byte](1, 2, 3), dir, snap)
+    // a writer that dies mid-stage (disk full, executor loss, kill -9
+    // analogue) must not damage the committed artifact at `dir`
+    intercept[RuntimeException] {
+      ArtifactStore.commitDir(dir) { st =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(st))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$st/bloom.bin"), Array[Byte](9))
+        throw new RuntimeException("writer crashed mid-stage")
+      }
+    }
+    assert(java.util.Arrays.equals(
+      ArtifactStore.loadBloom(dir, snap), Array[Byte](1, 2, 3)),
+      "crashed save corrupted the committed artifact")
+    // ...and the next successful save reclaims the orphaned staging dir
+    ArtifactStore.saveBloom(Array[Byte](4, 5), dir, snap)
+    assert(java.util.Arrays.equals(
+      ArtifactStore.loadBloom(dir, snap), Array[Byte](4, 5)))
+    val siblings = new java.io.File(dir).getParentFile.list().toSeq
+    assert(siblings == Seq("a"),
+      s"staging/retired dirs leaked next to the artifact: $siblings")
+  }
+
   test("q105 restart path: second session loads the persisted near-dup index") {
     restartRoundTrip("q105_stream_neardup_admission", "q105-neardup")
   }
