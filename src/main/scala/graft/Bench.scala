@@ -13,10 +13,17 @@ object Bench {
     // CPU contention (2-5× per-query swings) — the min of two runs is a
     // far more representative steady-state number than one sample. Sub-
     // second queries keep a single run to bound total bench time.
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS records a misleading near-zero time (r6: the
+    // testdata regen broke three queries, bench's catch hid them and the
+    // total silently dropped ~7 s of real work) — track failures and
+    // surface them in the result JSON so a drift is visible in BENCH_r{N}.
+    val failed = scala.collection.mutable.SortedSet[String]()
+    def timed(name: String,
+              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc() // untimed: isolate queries from each other's garbage
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     // Optional isolation filter (local fresh-JVM re-measurement of a
@@ -25,8 +32,8 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
-        val first = timed(fn)
-        name -> (if (first > 1.0) math.min(first, timed(fn)) else first)
+        val first = timed(name, fn)
+        name -> (if (first > 1.0) math.min(first, timed(name, fn)) else first)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -52,7 +59,13 @@ object Bench {
       case c => c.toString
     }
     val filterField = only.map(f => s""","filter":"${esc(f)}"""").getOrElse("")
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField}""")
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField}""")
+    // Failed queries ride on BOTH lines (the compact one survives the
+    // driver's stdout-tail truncation): a non-empty list means the total
+    // is missing that work and the round needs a correctness look first.
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + esc(n) + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField}""")
   }
 }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md / FIXTURES.md §6). One parquet file per table under
@@ -24,17 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Sessions set spark.sql.legacy.parquet.nanosAsLong=true
-    * (see GraftSession); here we convert the long nanos to a proper
-    * TimestampType with exact integer division (DIV, not double `/`, which
-    * would lose precision above 2^53).
+  /** events.ts normalization: every engine query sees TimestampType.
+    *
+    * The driver's generator has shipped the column two ways: parquet
+    * TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp
+    * (sessions set spark.sql.legacy.parquet.nanosAsLong=true, see
+    * GraftSession, and the long nanos are converted with exact integer
+    * division — DIV, not double `/`, which loses precision above 2^53),
+    * and plain timestamp[us] with isAdjustedToUTC=false, which Spark 4
+    * reads as TIMESTAMP_NTZ. The NTZ cast to TimestampType is wall-clock
+    * under the session zone; sessions pin UTC, so both paths yield the
+    * same instants and downstream collects see java.sql.Timestamp.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

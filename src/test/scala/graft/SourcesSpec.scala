@@ -113,4 +113,30 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1).getAs[String]("eNodeB Name") === "enb2")
     assert(got(0).getAs[java.sql.Timestamp]("Time") != null) // parsed (F3)
   }
+
+  test("Tables.events: every shipped ts encoding normalizes to TimestampType") {
+    // The driver's generator has shipped events.ts three ways across
+    // rounds: TIMESTAMP(NANOS) (read as long under nanosAsLong),
+    // timestamp[us] isAdjustedToUTC=false (read as TIMESTAMP_NTZ), and a
+    // tz-adjusted timestamp. Tables.events must hand every query
+    // TimestampType with identical UTC instants regardless of encoding —
+    // q58/q89/q99 collect/convert ts and break on a leaked NTZ.
+    val base = Files.createTempDirectory("events_enc_").toString
+    val instantUs = 1700000000000000L // 2023-11-14T22:13:20Z, micros
+    val asTz = Seq((new java.sql.Timestamp(instantUs / 1000), 7L, "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    asTz.write.parquet(s"$base/tz/events.parquet")
+    asTz.select(col("ts").cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.parquet(s"$base/ntz/events.parquet")
+    Seq((instantUs * 1000L, 7L, "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.parquet(s"$base/nanos_as_long/events.parquet")
+    for (enc <- Seq("tz", "ntz", "nanos_as_long")) {
+      val df = Tables.events(spark, s"$base/$enc")
+      assert(df.schema("ts").dataType === TimestampType, s"encoding=$enc")
+      val got = df.select(unix_micros(col("ts"))).head.getLong(0)
+      assert(got === instantUs, s"encoding=$enc")
+    }
+  }
 }
