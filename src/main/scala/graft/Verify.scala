@@ -12,12 +12,24 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // A throwing query must not abort the dump (the driver needs the other
+    // results), but it must also not VANISH: r6's testdata regen broke
+    // three queries and the only trace was a stderr line nobody kept —
+    // the driver's correctness run just shrank 109→106 with every row
+    // green. Failures now land in outDir/_failed.json next to the results
+    // and in a final stdout summary line.
+    val failed = scala.collection.mutable.SortedMap.empty[String, String]
+    var dumped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      }
       catch { case e: Throwable =>
+        failed(name) = String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -36,6 +48,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    println(s"[verify] dumped $dumped queries, ${failed.size} failed" +
+      (if (failed.isEmpty) "" else failed.keys.mkString(" (", ", ", ")")))
     GraftSession.close(spark) // release registry-cached standing frames
     spark.stop()
   }
