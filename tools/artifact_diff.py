@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Round-start drift check: diff two CORRECTNESS_r{N}.json artifacts.
+
+The engine's mains catch per-query exceptions so one throwing query
+cannot abort a whole verification run — the flip side is that a broken
+query VANISHES from the artifact instead of going red (r6: a testdata
+regen changed events.ts encoding and CORRECTNESS shrank 109->106 with
+every remaining row green). This tool makes the round-start check a one
+-liner:
+
+    python3 tools/artifact_diff.py CORRECTNESS_r06.json CORRECTNESS_r07.json
+    python3 tools/artifact_diff.py --bench BENCH_r07.json
+
+Exit code 1 if queries disappeared, any check regressed pass->fail, or
+the bench artifact carries a non-empty "failed" list.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def ok(entry):
+    if not isinstance(entry, dict):
+        return False
+    return all(entry.get(k) for k in ("rows_match", "schema_match", "hash_match")) \
+        and not entry.get("err")
+
+
+def diff_correctness(prev_path, cur_path):
+    prev, cur = load(prev_path), load(cur_path)
+    rc = 0
+    gone = sorted(set(prev) - set(cur))
+    new = sorted(set(cur) - set(prev))
+    if gone:
+        rc = 1
+        print(f"LOST {len(gone)} queries (likely THROWING, not failing red — "
+              f"check Verify's _failed.json / stderr): {', '.join(gone)}")
+    if new:
+        print(f"new queries ({len(new)}): {', '.join(new)}")
+    regressed = sorted(k for k in set(prev) & set(cur) if ok(prev[k]) and not ok(cur[k]))
+    if regressed:
+        rc = 1
+        for k in regressed:
+            print(f"REGRESSED {k}: {cur[k]}")
+    still_bad = sorted(k for k in cur if not ok(cur[k]) and k not in regressed)
+    if still_bad:
+        rc = 1
+        print(f"failing ({len(still_bad)}): {', '.join(still_bad)}")
+    print(f"== prev={len(prev)} cur={len(cur)} lost={len(gone)} "
+          f"new={len(new)} regressed={len(regressed)}")
+    return rc
+
+
+def check_bench(path):
+    b = load(path)
+    # driver artifact: {"parsed": {...}|null, "tail": "..."} — or the raw
+    # bench JSON line itself when pointed at local output
+    parsed = b.get("parsed") if "parsed" in b else b
+    failed = (parsed or {}).get("failed") or []
+    if not failed and "tail" in b:
+        m = re.search(r'"failed":\[([^\]]*)\]', b["tail"])
+        if m:
+            failed = [s.strip('" ') for s in m.group(1).split(",") if s.strip()]
+    if failed:
+        print(f"BENCH ran {len(failed)} queries to a THROW (their times are "
+              f"fail-fast, the total under-counts): {', '.join(sorted(failed))}")
+        return 1
+    total = (parsed or {}).get("value")
+    print(f"== bench ok, total={total}")
+    return 0
+
+
+def main():
+    args = sys.argv[1:]
+    if args[:1] == ["--bench"]:
+        sys.exit(check_bench(args[1]))
+    prev_path, cur_path = args
+    sys.exit(diff_correctness(prev_path, cur_path))
+
+
+if __name__ == "__main__":
+    main()
