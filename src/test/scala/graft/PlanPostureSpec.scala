@@ -127,6 +127,18 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("l_comment"), "projection reads columns it never uses")
   }
 
+  test("q01: the date comparison pushes into the parquet scan as-typed") {
+    // The testdata's date columns read as TIMESTAMP_NTZ since the r6 regen.
+    // A timestamp-vs-NTZ coercion that lands a cast on the COLUMN side
+    // would silently demote the scan to read-everything — at 100 TB that
+    // is the difference between scanning a partition and scanning the
+    // lake. Guard the named pushed filter, not just non-emptiness.
+    val p = plan("q01_agg_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "l_shipdate range predicate fell out of PushedFilters — " +
+        "did a type coercion land a cast on the column?")
+  }
+
   test("q102: top-K gram dictionary is TakeOrdered and broadcasts into the coverage join") {
     val p = plan("q102_boilerplate")
     assert(p.contains("TakeOrderedAndProject"),
