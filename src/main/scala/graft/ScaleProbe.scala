@@ -1,0 +1,182 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-out probe for the scale-critical operator families.
+  *
+  * The engine is correctness-tested at sf0.01 and benched at sf0.1, but
+  * its design target is a 1000-executor cluster at ~100 TB. This main
+  * measures how runtime AND intermediate volume (candidate pairs — the
+  * quantity that kills naive dedup at scale) actually grow when the
+  * corpus is replicated 4×/16×/64×, so "candidates grow ~linearly" is a
+  * measured exponent instead of a claim.
+  *
+  * Replication keeps duplicate DENSITY constant — the property real
+  * corpus growth has and verbatim replication destroys: replica i>0
+  * re-keys ids and suffixes every token with `_i`, so each replica
+  * reproduces the base corpus's internal (near-)dup structure while
+  * sharing nothing across replicas (verbatim copies would make every
+  * doc an exact dup of N-1 others and measure that pathology, not the
+  * engine). Embedding replicas rotate the vector — norm-preserving,
+  * deterministic, and far from the original in cosine.
+  *
+  * Usage: runMain graft.ScaleProbe <baseSfDir> <scratchDir> <f1> <f2> ...
+  * Emits one JSON line per (factor, op): {"factor":F,"op":...,
+  * "sec":...,"rows":N} — rows is the op's RESULT volume (dup groups,
+  * candidate/verified pairs, components...), the scale-sensitive
+  * number. Exponents: log(t_f2/t_f1) / log(f2/f1) between consecutive
+  * factors; ~1.0 = linear.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val scratch = args(1)
+    val factors = args.drop(2).map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    try factors.foreach(runFactor(spark, base, scratch, _))
+    finally { GraftSession.close(spark); spark.stop() }
+  }
+
+  /** Replicate once per factor (skip if present), then time each op. */
+  private def runFactor(s: SparkSession, base: String, scratch: String,
+      f: Int): Unit = {
+    val dir = s"$scratch/f$f"
+    val docsPath = s"$dir/documents.parquet"
+    val embPath = s"$dir/embeddings.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val docs = Tables.documents(s, base)
+      (0 until f).map { i =>
+        if (i == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          // "$1_i": the underscore stops the group ref from swallowing
+          // the digit (a bare "$1" + i would read as group 1i)
+          regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(docsPath)
+      val emb = Tables.embeddings(s, base)
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      (0 until f).map { i =>
+        if (i == 0) emb
+        else {
+          val r = 1 + (i % (dim - 1))
+          emb.select(
+            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            concat(slice(col("embedding"), r + 1, dim),
+              slice(col("embedding"), 1, r)).as("embedding"),
+            col("label"))
+        }
+      }.reduce(_ unionByName _)
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val docs = s.read.parquet(docsPath)
+    val emb = s.read.parquet(embPath)
+
+    // Optional isolation filter, comma-separated op-name substrings —
+    // the fresh-JVM re-measurement protocol (BASELINE.md) for this main.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def timed(op: String)(body: => Long): Unit = {
+      if (!only.forall(_.exists(op.contains))) return
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"factor":$f,"op":"$op","sec":$sec%.3f,"rows":$rows}""")
+    }
+
+    // 1. Exact dedup: hash-groupBy — the baseline linear shuffle.
+    timed("exact_dedup_groups") {
+      docs.groupBy(Dedup.contentKey(col("text")).as("ck"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    }
+
+    // 2. HLL planner: one map-side-combinable sketch pass.
+    timed("hll_planner") {
+      docs.agg(approx_count_distinct(Dedup.contentKey(col("text")), 0.02))
+        .count()
+    }
+
+    // 3. MinHash+LSH near-dup: band buckets → verified jaccard pairs.
+    timed("minhash_lsh_pairs") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+    }
+
+    // 4. SimHash banding: 60-bit sig, 4×15-bit chunks, hamming ≤ 3.
+    timed("simhash_pairs") {
+      val sig = docs
+        .withColumn("th", Dedup.tokenHashes(col("text")))
+        .withColumn("sh", Dedup.simhashFromHashes(col("th"), 60))
+        .select(col("doc_id"), col("sh"))
+      sig.cache(); sig.count()
+      try {
+        val bands = sig
+          .select(col("doc_id"), posexplode(Dedup.simhashChunks(col("sh"), 15, 4)))
+          .toDF("doc_id", "c", "v")
+        val cand = Dedup.pairsFromBuckets(bands, Seq("c", "v"), "doc_id")
+        cand
+          .join(sig.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+          .join(sig.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          .filter(Dedup.hamming(col("sa"), col("sb")) <= 3)
+          .count()
+      } finally sig.unpersist()
+    }
+
+    // 5. Winnowing fingerprints → bucket candidates → jaccard verify
+    //    (the q37 shape: the verify join is the scale risk).
+    timed("winnow_jaccard_pairs") {
+      val sh = docs
+        .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
+        .filter(size(col("h")) > 0)
+        .select(col("doc_id"), col("h"),
+          TextAnalysis.fingerprintsFromHashes(col("h"), 4).as("fp"))
+      sh.cache(); sh.count()
+      try {
+        val cand = Dedup.pairsFromBuckets(
+          sh.select(col("doc_id"), explode(col("fp")).as("f")), Seq("f"), "doc_id")
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("h").as("ha")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("h").as("hb")), "b_id")
+          .filter(Dedup.sizeRatioGuard(col("ha"), col("hb"), 0.8))
+          .filter(Dedup.jaccard(col("ha"), col("hb")) >= 0.8)
+          .count()
+      } finally sh.unpersist()
+    }
+
+    // 6. Connected components over the near-dup edges (edges cached
+    //    outside the timer — this times label propagation, not pair gen).
+    if (!only.forall(_.exists("connected_components".contains))) ()
+    else {
+      val edges = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        .select(col("a_id"), col("b_id"))
+      edges.cache(); edges.count()
+      timed("connected_components") {
+        try Dedup.connectedComponents(edges).select(col("comp")).distinct().count()
+        finally edges.unpersist()
+      }
+    }
+
+    // 7. Brute-force ANN baseline: fixed ~100-query eval set against the
+    //    full corpus — linear in corpus size by construction.
+    timed("ann_brute_top10") {
+      val n = emb.count()
+      val step = math.max(1L, n / 100L)
+      val queries = emb.filter(col("vec_id") % step === 0).limit(100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("score", Similarity.dot(col("embedding"), col("q")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .count()
+    }
+  }
+}
