@@ -205,9 +205,9 @@ object ScaleProbe {
 
     // 7. Brute-force ANN baseline: fixed ~100-query eval set against the
     //    full corpus — linear in corpus size by construction.
+    val n = emb.count()
+    val step = math.max(1L, n / 100L)
     timed("ann_brute_top10") {
-      val n = emb.count()
-      val step = math.max(1L, n / 100L)
       val queries = emb.filter(col("vec_id") % step === 0).limit(100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q"))
       val w = Window.partitionBy(col("q_id"))
@@ -217,6 +217,59 @@ object ScaleProbe {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .count()
+    }
+
+    // 10. IVF probe against the same eval set: the corpus cell
+    //     assignment is a snapshot investment (untimed, cached); each
+    //     query scores only its top-⌈k/8⌉ cells of k — a constant ~25%
+    //     probed fraction with 2× multi-assign. k SCALES as √n (the
+    //     standard IVF sizing): measured here, holding k=96 at 64×
+    //     (128k vectors) let cells go hot and candidate volume reach
+    //     62% of brute — the probe ran SLOWER than the linear scan
+    //     (13.9 vs 4.7 s). √n cells keep per-cell occupancy √n and the
+    //     pruned fraction constant as the corpus grows.
+    if (only.forall(_.exists("ann_ivf_probe".contains))) {
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val k = math.max(96, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val probeCells = math.max(12, k / 8)
+      val nemb = Similarity.withNormalized(emb, "embedding")
+        .select(col("vec_id"), col("ne"))
+      val sample = nemb.filter(col("vec_id") % 2 === 0)
+      val cents = Similarity.trainKmeans(sample, k, 3, dim)
+      val cells = nemb
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .select(col("vec_id"), col("ne"),
+          explode(Similarity.topCells(col("dots"), 2)).as("cell"))
+      cells.cache(); cells.count() // untimed snapshot investment
+      val queries = nemb.filter(col("vec_id") % step === 0).limit(100)
+        .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"),
+          explode(Similarity.topCells(col("dots"), probeCells)).as("cell"))
+      try {
+        timed("ann_ivf_probe") {
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("vec_id"))
+          cells.join(broadcast(queries),
+              cells("cell") === queries("cell")
+                && col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              Similarity.dot(col("ne"), col("qe")).as("score"))
+            .distinct() // multi-assign ∩ multi-probe dupes
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 10)
+            .count()
+        }
+        // Untimed: the scored-candidate volume — the number that
+        // dominates at real scale, where scoring (not shuffle setup)
+        // is the cost. Brute scores (n-1)·100; the ratio is the
+        // pruning factor the √n cell count is meant to hold constant.
+        timed("ann_ivf_candidates") {
+          cells.join(broadcast(queries),
+              cells("cell") === queries("cell")
+                && col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id")).distinct().count()
+        }
+      } finally cells.unpersist()
     }
   }
 }
