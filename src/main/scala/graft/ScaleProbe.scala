@@ -203,6 +203,59 @@ object ScaleProbe {
       } finally idx.unpersist()
     }
 
+    // 11. Adversarial graph shape: a CHAIN of length 2500·f — the
+    //     deep-diameter worst case for min-label propagation (its
+    //     iteration bound is the component diameter; near-dup graphs
+    //     are clique-like so the default is right for dedup, but a
+    //     pathological graph must not wedge the engine). Expectation:
+    //     minlabel exits at maxIter with the component shattered
+    //     (measured, not hidden); the alternating-star variant
+    //     converges in O(log n) rounds to ONE component.
+    if (only.forall(_.exists("cc_chain".contains))) {
+      val nChain = 2500L * f
+      val chain = s.range(nChain - 1)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      chain.cache(); chain.count()
+      try {
+        timed("cc_chain_minlabel_maxiter15") {
+          Dedup.connectedComponents(chain, 15, "minlabel")
+            .select(col("comp")).distinct().count()
+        }
+        // "rows" here = alternating-star ROUNDS to the fixed point
+        // (component count is asserted = 1 inside the body)
+        timed("cc_chain_star_rounds") {
+          val (labels, iters) = Dedup.connectedComponentsStar(chain, 40)
+          val comps = labels.select(col("comp")).distinct().count()
+          require(comps == 1L, s"star left $comps components on a chain")
+          iters.toLong
+        }
+      } finally chain.unpersist()
+    }
+
+    // 12. Hot near-dup family: 15k verbatim copies of one template —
+    //     the boilerplate pathology whose all-pairs enumeration
+    //     (C(15k,2) ≈ 112M pairs) no bucketing can save. The
+    //     DefaultMaxBucket guard (mirrored in the oracles) drops the
+    //     family's saturated buckets, so LSH pair volume and runtime
+    //     stay at the base corpus's; the family itself is EXACT-dup
+    //     territory, caught by the hash-groupBy stage that runs first
+    //     in the funnel (canonical order: exact → near).
+    if (only.forall(_.exists("hot_family".contains))) {
+      val template = docs.orderBy(col("doc_id")).limit(1)
+        .select(col("text")).head.getString(0)
+      val hot = docs.sparkSession.range(15000)
+        .select((col("id") + 900000000L).as("doc_id"),
+          lit(template).as("text"))
+      val poisoned = docs.select(col("doc_id"), col("text")).unionByName(hot)
+      timed("hot_family_lsh_pairs_guarded") {
+        Dedup.minhashLshPairs(poisoned, "doc_id", "text").count()
+      }
+      timed("hot_family_exact_dedup") {
+        poisoned.groupBy(Dedup.contentKey(col("text")).as("ck"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      }
+    }
+
     // 7. Brute-force ANN baseline: fixed ~100-query eval set against the
     //    full corpus — linear in corpus size by construction.
     val n = emb.count()
