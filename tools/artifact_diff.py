@@ -10,9 +10,13 @@ every remaining row green). This tool makes the round-start check a one
 
     python3 tools/artifact_diff.py CORRECTNESS_r06.json CORRECTNESS_r07.json
     python3 tools/artifact_diff.py --bench BENCH_r07.json
+    python3 tools/artifact_diff.py --bench BENCH_r06.json BENCH_r07.json
 
 Exit code 1 if queries disappeared, any check regressed pass->fail, or
-the bench artifact carries a non-empty "failed" list.
+the bench artifact carries a non-empty "failed" list. The two-artifact
+--bench form additionally lists per-query deltas >2x and >0.5 s — triage
+candidates for the isolated fresh-JVM re-measurement protocol
+(BASELINE.md), NOT verdicts: the host band swings identical code 2x.
 """
 import json
 import re
@@ -56,6 +60,37 @@ def diff_correctness(prev_path, cur_path):
     return rc
 
 
+def bench_queries(b):
+    """Per-query seconds from a bench artifact: parsed.queries if the
+    driver kept it, else scraped from the stdout tail (which truncates
+    the FRONT, so this is the visible suffix, not the full set)."""
+    parsed = b.get("parsed") if "parsed" in b else b
+    qs = (parsed or {}).get("queries")
+    if qs:
+        return dict(qs), True
+    return dict((m.group(1), float(m.group(2))) for m in
+                re.finditer(r'"(q[^"]+)":([0-9.eE+-]+)', b.get("tail", ""))), False
+
+
+def diff_bench(prev_path, cur_path):
+    prev, cur = load(prev_path), load(cur_path)
+    qp, full_p = bench_queries(prev)
+    qc, full_c = bench_queries(cur)
+    common = sorted(set(qp) & set(qc))
+    if not (full_p and full_c):
+        print(f"(tail-scraped: {len(qp)}/{len(qc)} queries visible — "
+              f"common set only)")
+    sp, sc = sum(qp[k] for k in common), sum(qc[k] for k in common)
+    print(f"common {len(common)} queries: {sp:.1f} -> {sc:.1f} s "
+          f"(ratio {sc / sp:.2f})" if sp else "no common queries")
+    suspicious = [(qc[k] - qp[k], k) for k in common
+                  if qc[k] > 2 * qp[k] and qc[k] - qp[k] > 0.5]
+    for d, k in sorted(suspicious, reverse=True):
+        print(f"  REGRESSED>2x {k}: {qp[k]:.2f} -> {qc[k]:.2f} s "
+              f"(re-measure isolated before optimizing)")
+    return check_bench(cur_path)
+
+
 def check_bench(path):
     b = load(path)
     # driver artifact: {"parsed": {...}|null, "tail": "..."} — or the raw
@@ -78,6 +113,8 @@ def check_bench(path):
 def main():
     args = sys.argv[1:]
     if args[:1] == ["--bench"]:
+        if len(args) > 2:
+            sys.exit(diff_bench(args[1], args[2]))
         sys.exit(check_bench(args[1]))
     prev_path, cur_path = args
     sys.exit(diff_correctness(prev_path, cur_path))
