@@ -30,6 +30,35 @@ object GraftSession {
     s
   }
 
+  /** Cluster-sizing preset — the deployment analogue of [[local]], with
+    * every derived number stated instead of implied by comments:
+    *
+    *  - shuffle partitions = 3× total cores: enough parallelism that
+    *    one straggler does not serialize a stage, small enough that a
+    *    sf-proportional shuffle keeps partitions in the tens-of-MB
+    *    range where AQE coalescing (still on) can merge the small
+    *    ones. AQE's skew split then has ≥3 mapper ranges per reduce
+    *    partition to slice — the precondition SkewBench measures.
+    *  - maxPartitionBytes stays at Spark's 128 MB default: scan tasks
+    *    of ~1 core-minute; the reference pins 64 MB on a 4-core
+    *    cluster for the same reason at half the per-task budget.
+    *  - broadcast threshold 64 MB (as [[builder]]): dimension tables
+    *    and probe sets ship to executors instead of shuffling facts.
+    *
+    * The local/cluster split changes ONLY sizing numbers: plans,
+    * kernels, and lifecycle are identical, which is what keeps the
+    * local bench predictive of the cluster shape.
+    */
+  /** shuffle partitions = 3 × total cores (see [[clusterBuilder]]). */
+  def clusterShufflePartitions(executors: Int, coresPerExecutor: Int): Int =
+    3 * executors * coresPerExecutor
+
+  def clusterBuilder(master: String, executors: Int,
+      coresPerExecutor: Int): SparkSession.Builder =
+    builder(master, clusterShufflePartitions(executors, coresPerExecutor))
+      .config("spark.executor.instances", executors.toString)
+      .config("spark.executor.cores", coresPerExecutor.toString)
+
   /** Retire an engine session: evict every standing frame the registry
     * caches on its behalf (the LSH pair set, IVF cells, admission
     * bloom/index, funnel stages, ...) so its pinned executor memory is

@@ -43,4 +43,15 @@ class RunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (ok2, _) = Runner.runStages(Seq("a" -> (() => ())))
     assert(ok2)
   }
+
+  test("cluster sizing: shuffle partitions derive from topology") {
+    // The builder itself cannot be applied here — getOrCreate would
+    // impose the cluster partition count on the suite's SHARED session.
+    // The derivation is the contract: 3× total cores (a 1000-executor,
+    // 4-core fleet plans 12,000 shuffle partitions).
+    assert(GraftSession.clusterShufflePartitions(250, 4) === 3000)
+    assert(GraftSession.clusterShufflePartitions(1000, 4) === 12000)
+    // and the builder accepts the topology without starting anything
+    GraftSession.clusterBuilder("local[4]", 250, 4)
+  }
 }
