@@ -41,6 +41,22 @@ object ScaleProbe {
     finally { GraftSession.close(spark); spark.stop() }
   }
 
+  /** Replica `i` of a documents frame: ids re-keyed into a disjoint
+    * range, every token suffixed `_i` (replica 0 is the base,
+    * untouched). The suffix changes every shingle/token hash, so
+    * replicas share NO dedup structure across each other while each
+    * reproduces the base corpus's internal structure — the constant-
+    * density property all probe conclusions rest on
+    * (`ScaleProbeSpec` pins it). */
+  def perturbedReplica(docs: DataFrame, i: Int): DataFrame =
+    if (i == 0) docs
+    else docs.select(
+      (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+      // "$1_i": the underscore stops the group ref from swallowing
+      // the digit (a bare "$1" + i would read as group 1i)
+      regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
   /** Replicate once per factor (skip if present), then time each op. */
   private def runFactor(s: SparkSession, base: String, scratch: String,
       f: Int): Unit = {
@@ -49,15 +65,8 @@ object ScaleProbe {
     val embPath = s"$dir/embeddings.parquet"
     if (!new java.io.File(docsPath).exists()) {
       val docs = Tables.documents(s, base)
-      (0 until f).map { i =>
-        if (i == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-          // "$1_i": the underscore stops the group ref from swallowing
-          // the digit (a bare "$1" + i would read as group 1i)
-          regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
+      (0 until f).map(perturbedReplica(docs, _))
+        .reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(docsPath)
       val emb = Tables.embeddings(s, base)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the constant-density property every ScaleProbe conclusion rests
+  * on: replicas reproduce the base corpus's INTERNAL dedup structure and
+  * share NOTHING across replicas. If a future edit weakens the
+  * perturbation (e.g. a suffix that leaves some token class untouched),
+  * the probe would start measuring cross-replica pathology and report
+  * super-linear growth that isn't the engine's — this spec fails first.
+  */
+class ScaleProbeSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def docs = Seq(
+    // a near-dup family (one token edit in eight), an exact-dup pair,
+    // and unrelated filler — the structures the probe counts
+    (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 40L),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s0", 40L),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s1", 40L),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "s1", 40L),
+    (5L, "completely unrelated text about something else entirely", "en", "s2", 50L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("replica 0 is the base, untouched") {
+    val d = docs
+    assert(ScaleProbe.perturbedReplica(d, 0) eq d)
+  }
+
+  test("replicas re-key into disjoint id ranges and keep schema") {
+    val r2 = ScaleProbe.perturbedReplica(docs, 2)
+    assert(r2.schema === docs.schema)
+    val ids = r2.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(20000001L, 20000002L, 20000003L, 20000004L, 20000005L))
+  }
+
+  test("within-replica structure is preserved, cross-replica is empty") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val r1 = ScaleProbe.perturbedReplica(docs, 1)
+      .select(col("doc_id"), col("text"))
+    val union = base.unionByName(r1)
+    // exact dups: the (3,4) pair exists in BOTH replicas, never across
+    val exact = union.groupBy(Dedup.contentKey(col("text")).as("ck"))
+      .agg(collect_set(col("doc_id")).as("ids")).filter(size(col("ids")) > 1)
+      .select(col("ids")).collect().map(_.getSeq[Long](0).toSet).toSet
+    assert(exact === Set(Set(3L, 4L), Set(10000003L, 10000004L)))
+    // near-dup pairs at a threshold the (1,2) family passes: each
+    // replica contributes its own pair; zero pairs span replicas
+    val pairs = Dedup.minhashLshPairs(union, "doc_id", "text",
+        threshold = 0.6)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossed = pairs.filter { case (a, b) =>
+      (a < 10000000L) != (b < 10000000L) }
+    assert(crossed.isEmpty, s"cross-replica pairs leaked: $crossed")
+    assert(pairs.contains((3L, 4L)) && pairs.contains((10000003L, 10000004L)),
+      s"within-replica structure lost: $pairs")
+  }
+}
