@@ -17,14 +17,20 @@ object Bench {
     // testdata regen broke three queries, bench's catch hid them and the
     // total silently dropped ~7 s of real work) — track failures and
     // surface them in the result JSON so a drift is visible in BENCH_r{N}.
+    // A failed query contributes ZERO to the per-query map and total
+    // (its partial time-until-throw is neither the query's cost nor
+    // comparable across rounds); the wasted wall-clock is reported
+    // separately as failed_sec so nothing is silently dropped.
     val failed = scala.collection.mutable.SortedSet[String]()
+    var failedSec = 0.0
     def timed(name: String,
               fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc() // untimed: isolate queries from each other's garbage
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => failed += name; false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else { failedSec += sec; 0.0 }
     }
     // Optional isolation filter (local fresh-JVM re-measurement of a
     // suspicious query per the verify protocol; the driver never sets it)
@@ -64,7 +70,9 @@ object Bench {
     // is missing that work and the round needs a correctness look first.
     val failedField =
       if (failed.isEmpty) ""
-      else failed.map(n => "\"" + esc(n) + "\"").mkString(""","failed":[""", ",", "]")
+      else failed.map(n => "\"" + esc(n) + "\"")
+        .mkString(""","failed":[""", ",", "]") +
+        f""","failed_sec":$failedSec%.3f"""
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField}""")
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField}""")
   }

@@ -57,13 +57,24 @@ object ScaleProbe {
       regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
       col("lang"), col("source"), col("n_chars"))
 
-  /** Replicate once per factor (skip if present), then time each op. */
+  /** Replicate once per factor (skip only when a COMPLETED replication
+    * is present), then time each op. */
   private def runFactor(s: SparkSession, base: String, scratch: String,
       f: Int): Unit = {
     val dir = s"$scratch/f$f"
     val docsPath = s"$dir/documents.parquet"
     val embPath = s"$dir/embeddings.parquet"
-    if (!new java.io.File(docsPath).exists()) {
+    // Scratch IO goes through the Hadoop FileSystem API like every
+    // other artifact path in the engine (ArtifactStore/FileLifecycle)
+    // — the probe must run against cluster storage, not just local
+    // disk. The skip guard is a MARKER written after BOTH tables land:
+    // guarding on documents.parquet alone let a run that crashed
+    // between the two writes leave a scratch dir whose embeddings are
+    // never generated (every later run then fails on read).
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_REPLICAS_OK")
+    if (!hfs.exists(marker)) {
       val docs = Tables.documents(s, base)
       (0 until f).map(perturbedReplica(docs, _))
         .reduce(_ unionByName _)
@@ -71,6 +82,13 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(docsPath)
       val emb = Tables.embeddings(s, base)
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      // Rotation r = 1 + (i % (dim-1)) is collision-free only while
+      // i < dim: past that, replicas reuse rotations and become exact
+      // cross-replica duplicates — silently breaking the constant-
+      // density property every ANN conclusion rests on. Fail loudly.
+      require(f <= dim, s"factor $f exceeds the embedding dimension " +
+        s"$dim — rotation replicas would collide and the probe's " +
+        "constant-density property no longer holds")
       (0 until f).map { i =>
         if (i == 0) emb
         else {
@@ -84,6 +102,7 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(embPath)
+      hfs.create(marker, true).close()
     }
     val docs = s.read.parquet(docsPath)
     val emb = s.read.parquet(embPath)
@@ -92,8 +111,15 @@ object ScaleProbe {
     // the fresh-JVM re-measurement protocol (BASELINE.md) for this main.
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
+    // Section gate: run a section's (untimed) setup iff SOME of its FULL
+    // op names matches the filter, with the same substring direction
+    // timed() uses (filter ⊆ op name). Gating on a short prefix string
+    // inverted the match: a full-name filter like
+    // SPARK_GRAFT_PROBE_OPS=cc_chain_star_rounds silently ran nothing.
+    def wanted(ops: String*): Boolean =
+      only.forall(fs => ops.exists(op => fs.exists(op.contains)))
     def timed(op: String)(body: => Long): Unit = {
-      if (!only.forall(_.exists(op.contains))) return
+      if (!wanted(op)) return
       System.gc()
       val t0 = System.nanoTime()
       val rows = body
@@ -160,16 +186,16 @@ object ScaleProbe {
     }
 
     // 6. Connected components over the near-dup edges (edges cached
-    //    outside the timer — this times label propagation, not pair gen).
-    if (!only.forall(_.exists("connected_components".contains))) ()
-    else {
+    //    outside the timer — this times label propagation, not pair
+    //    gen; the unpersist is likewise outside so eviction cost never
+    //    rides on the measurement).
+    if (wanted("connected_components")) {
       val edges = Dedup.minhashLshPairs(docs, "doc_id", "text")
         .select(col("a_id"), col("b_id"))
       edges.cache(); edges.count()
-      timed("connected_components") {
-        try Dedup.connectedComponents(edges).select(col("comp")).distinct().count()
-        finally edges.unpersist()
-      }
+      try timed("connected_components") {
+        Dedup.connectedComponents(edges).select(col("comp")).distinct().count()
+      } finally edges.unpersist()
     }
 
     // 8+9. The INCREMENTAL path: a fixed 500-doc novel delta against the
@@ -180,8 +206,7 @@ object ScaleProbe {
     //    Expectation: probe ~flat in corpus size (O(delta) signatures +
     //    a bucket equi-join against capped buckets); incremental CC
     //    linear-in-corpus SCAN with delta-diameter-bounded iterations.
-    if (only.forall(f0 => f0.exists("neardup_index_probe".contains)
-        || f0.exists("incremental_cc".contains))) {
+    if (wanted("neardup_index_probe", "incremental_cc")) {
       // Half the delta re-submits corpus docs verbatim (admission hits:
       // candidate buckets + verify joins fire), half is novel text
       // (misses: signature work only) — the realistic batch mix.
@@ -197,17 +222,23 @@ object ScaleProbe {
         timed("neardup_index_probe") {
           idx.probe(delta, "doc_id", "text").count()
         }
-        val labels = Dedup.connectedComponents(
-          Dedup.minhashLshPairs(docs, "doc_id", "text")
-            .select(col("a_id"), col("b_id")))
-        labels.cache(); labels.count() // untimed standing snapshot
-        val deltaEdges = idx.probe(delta, "doc_id", "text")
-          .select(col("d_id").as("a_id"), col("c_id").as("b_id"))
-        deltaEdges.cache(); deltaEdges.count()
-        timed("incremental_cc") {
-          try Dedup.connectedComponentsIncremental(labels, deltaEdges)
-            .select(col("comp")).distinct().count()
-          finally { labels.unpersist(); deltaEdges.unpersist() }
+        // The standing-labels snapshot is an EXPENSIVE untimed build —
+        // only pay for it when the incremental experiment is selected,
+        // and unpersist in a finally OUTSIDE timed() so a filtered run
+        // can't leak the caches and eviction never rides on the
+        // measured time.
+        if (wanted("incremental_cc")) {
+          val labels = Dedup.connectedComponents(
+            Dedup.minhashLshPairs(docs, "doc_id", "text")
+              .select(col("a_id"), col("b_id")))
+          labels.cache(); labels.count() // untimed standing snapshot
+          val deltaEdges = idx.probe(delta, "doc_id", "text")
+            .select(col("d_id").as("a_id"), col("c_id").as("b_id"))
+          deltaEdges.cache(); deltaEdges.count()
+          try timed("incremental_cc") {
+            Dedup.connectedComponentsIncremental(labels, deltaEdges)
+              .select(col("comp")).distinct().count()
+          } finally { labels.unpersist(); deltaEdges.unpersist() }
         }
       } finally idx.unpersist()
     }
@@ -216,19 +247,27 @@ object ScaleProbe {
     //     deep-diameter worst case for min-label propagation (its
     //     iteration bound is the component diameter; near-dup graphs
     //     are clique-like so the default is right for dedup, but a
-    //     pathological graph must not wedge the engine). Expectation:
-    //     minlabel exits at maxIter with the component shattered
-    //     (measured, not hidden); the alternating-star variant
-    //     converges in O(log n) rounds to ONE component.
-    if (only.forall(_.exists("cc_chain".contains))) {
+    //     pathological graph must not wedge the engine). Since r8 the
+    //     default API detects min-label non-convergence and auto-falls
+    //     back to the alternating-star algorithm, so this measures the
+    //     WORST-CASE TOTAL a caller pays on the pathological shape
+    //     (maxIter wasted min-label rounds + the star run) and asserts
+    //     the answer is the ONE true component — the pre-r8 shattered
+    //     result (9,985 components behind a WARN) is no longer
+    //     reachable through the public API.
+    if (wanted("cc_chain_default_fallback", "cc_chain_star_rounds")) {
       val nChain = 2500L * f
       val chain = s.range(nChain - 1)
         .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
       chain.cache(); chain.count()
       try {
-        timed("cc_chain_minlabel_maxiter15") {
-          Dedup.connectedComponents(chain, 15, "minlabel")
+        timed("cc_chain_default_fallback") {
+          val comps = Dedup.connectedComponents(chain, 15, "minlabel")
             .select(col("comp")).distinct().count()
+          require(comps == 1L,
+            s"default CC left $comps components on a chain — the star " +
+            "fallback did not engage")
+          comps
         }
         // "rows" here = alternating-star ROUNDS to the fixed point
         // (component count is asserted = 1 inside the body)
@@ -249,7 +288,7 @@ object ScaleProbe {
     //     stay at the base corpus's; the family itself is EXACT-dup
     //     territory, caught by the hash-groupBy stage that runs first
     //     in the funnel (canonical order: exact → near).
-    if (only.forall(_.exists("hot_family".contains))) {
+    if (wanted("hot_family_lsh_pairs_guarded", "hot_family_exact_dedup")) {
       val template = docs.orderBy(col("doc_id")).limit(1)
         .select(col("text")).head.getString(0)
       val hot = docs.sparkSession.range(15000)
@@ -290,7 +329,7 @@ object ScaleProbe {
     //     62% of brute — the probe ran SLOWER than the linear scan
     //     (13.9 vs 4.7 s). √n cells keep per-cell occupancy √n and the
     //     pruned fraction constant as the corpus grows.
-    if (only.forall(_.exists("ann_ivf_probe".contains))) {
+    if (wanted("ann_ivf_probe", "ann_ivf_candidates")) {
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
       val k = math.max(96, math.ceil(math.sqrt(n.toDouble)).toInt)
       val probeCells = math.max(12, k / 8)

@@ -197,11 +197,31 @@ object Dedup {
     * loop with a per-iteration convergence action is the standard shape
     * for iterative graph algorithms (GraphX/Pregel does the same); at
     * larger diameters the alternating star variants drop the bound to
-    * O(log n) with the same per-iteration plan. Returns (id, comp). */
+    * O(log n) with the same per-iteration plan. Returns (id, comp).
+    *
+    * NON-CONVERGENCE IS NEVER RETURNED: if min-label hits `maxIter`
+    * with labels still changing (component diameter exceeds the
+    * iteration budget — a chain, not the clique-like shape dedup
+    * graphs have), the call auto-switches to the alternating-star
+    * algorithm, whose round count is O(log n) regardless of diameter,
+    * and returns ITS labels. The caller always gets converged
+    * components; the only cost of the pathological shape is the wasted
+    * min-label rounds, logged at WARN. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 15,
       algorithm: String = "minlabel"): DataFrame = algorithm match {
     case "star" => connectedComponentsStar(edges, maxIter)._1
-    case "minlabel" => minLabelComponents(edges, maxIter)
+    case "minlabel" =>
+      val (labels, converged) = minLabelComponents(edges, maxIter)
+      if (converged) labels
+      else {
+        log.warn(s"connectedComponents(minlabel) hit maxIter=$maxIter " +
+          "with labels still changing — auto-switching to the " +
+          "alternating-star algorithm so the caller never receives " +
+          "shattered labels")
+        // 60 rounds covers diameter 2^60 — a safety valve, not a bound
+        // the loop reaches (star exits at its fixed point).
+        connectedComponentsStar(edges, 60)._1
+      }
     case other => throw new IllegalArgumentException(
       s"unknown connected-components algorithm '$other' (minlabel|star)")
   }
@@ -232,7 +252,11 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def minLabelComponents(edges: DataFrame, maxIter: Int): DataFrame = {
+  /** Returns (labels, converged). A non-converged label frame is
+    * SHATTERED (sub-components of one true component carry different
+    * labels) — [[connectedComponents]] never surfaces it. */
+  private def minLabelComponents(edges: DataFrame,
+      maxIter: Int): (DataFrame, Boolean) = {
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct().cache()
@@ -264,13 +288,8 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
-    if (changed > 0)
-      log.warn(s"connectedComponents(minlabel) exited at maxIter=$maxIter " +
-        s"with $changed labels still changing — labels are NOT converged " +
-        "(component diameter exceeds the iteration budget; use " +
-        "algorithm=\"star\" for big-diameter graphs)")
     adj.unpersist()
-    labels
+    (labels, changed == 0L)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

@@ -94,10 +94,19 @@ object StreamingQueries extends QueryPack {
       lazy val snap = ArtifactStore.snapshot(corpusKeys, Seq("ck"))
       def build(origin: String): (DataFrame, Array[Byte]) = {
         val keys = corpusKeys.cache()
+        // Size the bloom from the CORPUS, not a constant: a fixed
+        // expectedItems saturates once the corpus outgrows it (at 10⁹+
+        // keys the prefilter silently degrades to a pass-everything
+        // no-op — correctness survives via the exact anti join, the
+        // perf gate doesn't). `snap.rows` is the exact distinct-key
+        // count and forcing it here materializes `keys`' cache, which
+        // the bloom's treeAggregate then reuses. The floor only guards
+        // degenerate tiny corpora against a zero-width filter.
+        val expected = math.max(snap.rows, 1024L)
         val bloom = graft.ext.BloomPrune.buildBloom(
-          keys, col("ck"), expectedItems = 1000000L)
+          keys, col("ck"), expectedItems = expected)
         dirOpt.foreach { dir =>
-          ArtifactStore.saveBloom(bloom, dir, snap, 1000000L,
+          ArtifactStore.saveBloom(bloom, dir, snap, expected,
             keys = Some(keys))
           ArtifactStore.lastOrigin("q101-bloom") = origin
         }

@@ -189,6 +189,29 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     restartRoundTrip("q101_stream_bloom_dedup", "q101-bloom")
   }
 
+  test("q101 bloom is sized from the corpus snapshot, not a constant") {
+    // Pre-r8 the bloom was built with expectedItems=1_000_000 regardless
+    // of corpus size: past 10⁹ keys it saturates and the prefilter
+    // silently degrades to a pass-everything no-op. The build must size
+    // it from the snapshot's exact distinct-key count (floored at 1024
+    // for degenerate corpora), and the persisted sidecar records the
+    // figure — assert the end-to-end q101 path wrote the tracked size.
+    val root = Files.createTempDirectory("graft_art_sized_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    SparkEntry.queries("q101_stream_bloom_dedup")(s1, sf).collect()
+    val dir = ArtifactStore.configuredDir(s1, "q101-bloom", sf).get
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(s"$dir/meta.properties")
+    try p.load(in) finally in.close()
+    val corpusCount = docs(s1).filter(col("doc_id") % 7 =!= 3)
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(p.getProperty("expectedItems").toLong ===
+      math.max(corpusCount, 1024L),
+      "persisted bloom's expectedItems must track the corpus key count")
+    GraftSession.close(s1)
+  }
+
   test("stale artifact in the configured dir is rebuilt and overwritten, not fatal") {
     // the rolled-snapshot case: an artifact for SOME OTHER corpus sits
     // where the query expects its own. The snapshot gate must reject it

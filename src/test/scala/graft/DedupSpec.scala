@@ -216,6 +216,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"15-bit banding should cut candidates ≥20× (got $cand8 → $cand15)")
   }
 
+  test("default CC never returns shattered labels: 10k chain auto-falls back to star") {
+    // A 10,000-node chain has diameter 9,999 — min-label propagation at
+    // the default maxIter=15 CANNOT converge (the ScaleProbe chain run
+    // measured the pre-r8 behavior: 9,985 shattered components behind a
+    // WARN line). The default API must detect the non-convergence and
+    // auto-switch to the alternating-star algorithm, so the caller gets
+    // the ONE true component no matter the graph's shape.
+    val n = 10000L
+    val chain = spark.range(1L, n)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val labels = Dedup.connectedComponents(chain) // default maxIter=15, minlabel
+    assert(labels.select(col("comp")).distinct().count() === 1L,
+      "default connectedComponents returned a shattered chain")
+    assert(labels.agg(min(col("comp")), max(col("comp"))).head() ===
+      org.apache.spark.sql.Row(1L, 1L),
+      "fallback labels must carry the component-minimum id")
+    assert(labels.count() === n, "every chain node must be labelled")
+  }
+
   test("star CC: long path converges in ≤ log2(n)+2 rounds, labels match minlabel") {
     // 64-node path (diameter 63): min-label propagation needs 63 rounds;
     // the alternating star algorithm must finish in ≤ log2(64)+2 = 8.

@@ -110,14 +110,26 @@ def check_bench(path):
     return 0
 
 
+def usage(msg=None):
+    """Print the module docstring as usage (the documented round-start
+    one-liner must fail with guidance, not a bare traceback)."""
+    if msg:
+        print(f"error: {msg}", file=sys.stderr)
+    print(__doc__.strip(), file=sys.stderr)
+    sys.exit(2)
+
+
 def main():
     args = sys.argv[1:]
     if args[:1] == ["--bench"]:
-        if len(args) > 2:
+        if len(args) == 2:
+            sys.exit(check_bench(args[1]))
+        if len(args) == 3:
             sys.exit(diff_bench(args[1], args[2]))
-        sys.exit(check_bench(args[1]))
-    prev_path, cur_path = args
-    sys.exit(diff_correctness(prev_path, cur_path))
+        usage("--bench takes one or two bench artifacts")
+    if len(args) != 2:
+        usage("expected two correctness artifacts (prev cur)")
+    sys.exit(diff_correctness(args[0], args[1]))
 
 
 if __name__ == "__main__":

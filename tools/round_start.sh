@@ -1,0 +1,36 @@
+#!/bin/sh
+# Round-start drift gate — run FIRST each round, before building.
+#
+#     tools/round_start.sh [repo_root]
+#
+# Auto-discovers the two newest CORRECTNESS_r{N}.json and the newest
+# BENCH_r{N}.json in the repo root and runs tools/artifact_diff.py over
+# them. Exit code 1 if any query VANISHED (a throwing query shrinks the
+# artifact instead of going red — the r6 failure class), regressed
+# pass->fail, or the bench carries a non-empty "failed" list; 0 when the
+# surface is intact. With fewer than two correctness artifacts (round 1)
+# it reports and exits 0 — nothing to diff yet.
+set -u
+root="${1:-$(dirname "$0")/..}"
+cd "$root" || exit 2
+
+# newest two by round number (version sort: r10 > r9)
+corr=$(ls CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -2)
+set -- $corr
+rc=0
+if [ "$#" -ge 2 ]; then
+    echo "== correctness drift: $1 -> $2"
+    python3 tools/artifact_diff.py "$1" "$2" || rc=1
+else
+    echo "== fewer than two CORRECTNESS artifacts — nothing to diff"
+fi
+
+bench=$(ls BENCH_r*.json 2>/dev/null | sort -V | tail -1)
+if [ -n "$bench" ]; then
+    echo "== bench check: $bench"
+    python3 tools/artifact_diff.py --bench "$bench" || rc=1
+fi
+
+[ "$rc" -eq 0 ] && echo "== round-start gate: OK" \
+    || echo "== round-start gate: FAILED — the query surface shrank or regressed; fix before building" >&2
+exit "$rc"
