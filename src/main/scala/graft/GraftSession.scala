@@ -44,20 +44,42 @@ object GraftSession {
     *    cluster for the same reason at half the per-task budget.
     *  - broadcast threshold 64 MB (as [[builder]]): dimension tables
     *    and probe sets ship to executors instead of shuffling facts.
+    *  - RocksDB state store + changelog checkpointing: streaming state
+    *    (stream-stream join buffers, dedup sets, window/session
+    *    accumulators) lives in per-partition RocksDB instances bounded
+    *    by local DISK, not executor HEAP — the default HDFS-backed
+    *    provider holds every key in JVM memory, which OOMs long before
+    *    100 TB-scale join state. Changelog checkpointing uploads
+    *    per-batch deltas instead of a full state snapshot, so commit
+    *    latency stays flat as state grows. [[local]] keeps the heap
+    *    provider: for the bench fixtures' KB-scale state it is faster
+    *    (RocksDB pays a fixed per-batch commit cost — measured delta
+    *    in BASELINE.md), and `SPARK_GRAFT_STATE_STORE=rocksdb` flips
+    *    the streaming queries over to measure the cluster backend
+    *    locally. Result equality across providers is spec-asserted
+    *    (`StatefulSpec`: stream-stream LEFT OUTER under both stores).
     *
-    * The local/cluster split changes ONLY sizing numbers: plans,
-    * kernels, and lifecycle are identical, which is what keeps the
-    * local bench predictive of the cluster shape.
+    * The local/cluster split changes ONLY sizing numbers and the state
+    * backend: plans, kernels, and lifecycle are identical, which is
+    * what keeps the local bench predictive of the cluster shape.
     */
   /** shuffle partitions = 3 × total cores (see [[clusterBuilder]]). */
   def clusterShufflePartitions(executors: Int, coresPerExecutor: Int): Int =
     3 * executors * coresPerExecutor
+
+  /** FQCN of Spark's RocksDB state store provider (ships in spark-sql;
+    * rocksdbjni is a stock Spark dependency — no extra jars). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   def clusterBuilder(master: String, executors: Int,
       coresPerExecutor: Int): SparkSession.Builder =
     builder(master, clusterShufflePartitions(executors, coresPerExecutor))
       .config("spark.executor.instances", executors.toString)
       .config("spark.executor.cores", coresPerExecutor.toString)
+      .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
 
   /** Retire an engine session: evict every standing frame the registry
     * caches on its behalf (the LSH pair set, IVF cells, admission

@@ -50,6 +50,17 @@ object StreamingQueries extends QueryPack {
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_STATE_STORE=rocksdb drains every streaming query on
+    // the CLUSTER state backend (GraftSession.clusterBuilder's
+    // default) so the local bench can measure its per-batch commit
+    // cost; unset, the local heap provider stands (see GraftSession
+    // Scaladoc for the posture split).
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.GraftSession.RocksDbProvider)
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
+    }
     ss
   }
 

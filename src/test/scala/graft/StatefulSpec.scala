@@ -180,4 +180,73 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"), r.getAs[Double]("total")))
     assert(all.contains((7L, 1L, 5.0))) // the 11:00 session, closed by timeout
   }
+
+  // The heaviest stateful operator (watermarked stream-stream LEFT
+  // OUTER interval join, q58's shape) must produce IDENTICAL results on
+  // the local heap state store and the cluster backend
+  // (GraftSession.clusterBuilder: RocksDB + changelog checkpointing) —
+  // the posture split changes where state lives, never what it holds.
+  test("stream-stream left outer join: heap and RocksDB state stores agree") {
+    val in = Files.createTempDirectory("ssj_in_").toString
+    // main batch, then a far-future batch that advances both watermarks
+    // past every left row so unmatched purchases drain their null row
+    Files.writeString(Paths.get(in, "000_main.json"),
+      """{"ts":"2025-01-01T10:00:00.000Z","user":1,"kind":"click","v":0.0}
+        |{"ts":"2025-01-01T10:20:00.000Z","user":1,"kind":"purchase","v":5.0}
+        |{"ts":"2025-01-01T10:30:00.000Z","user":2,"kind":"purchase","v":7.0}
+        |{"ts":"2025-01-01T09:00:00.000Z","user":3,"kind":"click","v":0.0}
+        |{"ts":"2025-01-01T12:00:00.000Z","user":3,"kind":"purchase","v":9.0}"""
+        .stripMargin)
+    Files.writeString(Paths.get(in, "001_sentinel.json"),
+      """{"ts":"2025-01-02T00:00:00.000Z","user":-1,"kind":"click","v":0.0}
+        |{"ts":"2025-01-02T00:00:00.000Z","user":-1,"kind":"purchase","v":0.0}"""
+        .stripMargin)
+    Paths.get(in, "001_sentinel.json").toFile
+      .setLastModified(Paths.get(in, "000_main.json").toFile.lastModified + 60000)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user", LongType),
+      StructField("kind", StringType), StructField("v", DoubleType)))
+    def drain(rocks: Boolean): Set[(Long, Double, Boolean)] = {
+      val chk = Files.createTempDirectory("ssj_chk_").toString
+      val out = Files.createTempDirectory("ssj_out_").toString
+      val ss = spark.newSession()
+      if (rocks) {
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          GraftSession.RocksDbProvider)
+        ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled", "true")
+      }
+      def src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val clicks = src.filter(col("kind") === "click")
+        .select(col("user").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.filter(col("kind") === "purchase")
+        .select(col("user").as("p_user"), col("ts").as("p_ts"),
+          col("v").as("p_v"))
+        .withWatermark("p_ts", "1 hour")
+      val q = purchases.join(clicks,
+          col("p_user") === col("c_user")
+            && col("c_ts") <= col("p_ts")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.read.parquet(s"$out/data").filter(col("p_user") >= 0).collect()
+        .map(r => (r.getAs[Long]("p_user"), r.getAs[Double]("p_v"),
+          r.isNullAt(r.fieldIndex("c_user")))).toSet
+    }
+    val heap = drain(rocks = false)
+    val rocks = drain(rocks = true)
+    // expected: user 1 matched (click 20 min before), users 2 and 3
+    // unmatched (no click / click outside the 1 h interval) → null row
+    assert(heap === Set((1L, 5.0, false), (2L, 7.0, true), (3L, 9.0, true)))
+    assert(rocks === heap)
+  }
 }
