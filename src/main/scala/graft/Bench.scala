@@ -23,14 +23,16 @@ object Bench {
     // separately as failed_sec so nothing is silently dropped.
     val failed = scala.collection.mutable.SortedSet[String]()
     var failedSec = 0.0
+    // None = this run threw (name recorded in `failed`, its partial
+    // wall-clock in failedSec); Some(sec) = a valid measurement.
     def timed(name: String,
-              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       System.gc() // untimed: isolate queries from each other's garbage
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => failed += name; false }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (ok) sec else { failedSec += sec; 0.0 }
+      if (ok) Some(sec) else { failedSec += sec; None }
     }
     // Optional isolation filter (local fresh-JVM re-measurement of a
     // suspicious query per the verify protocol; the driver never sets it)
@@ -38,8 +40,18 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
-        val first = timed(name, fn)
-        name -> (if (first > 1.0) math.min(first, timed(name, fn)) else first)
+        name -> (timed(name, fn) match {
+          case Some(t) if t > 1.0 => timed(name, fn) match {
+            case Some(u) => math.min(t, u)
+            case None =>
+              // The retry threw but run 1 measured fine: keep the valid
+              // number and clear the failure flag (the query works; the
+              // retry's wasted wall-clock stays visible in failed_sec).
+              failed -= name; t
+          }
+          case Some(t) => t
+          case None => 0.0
+        })
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -68,11 +80,16 @@ object Bench {
     // Failed queries ride on BOTH lines (the compact one survives the
     // driver's stdout-tail truncation): a non-empty list means the total
     // is missing that work and the round needs a correctness look first.
-    val failedField =
-      if (failed.isEmpty) ""
-      else failed.map(n => "\"" + esc(n) + "\"")
-        .mkString(""","failed":[""", ",", "]") +
-        f""","failed_sec":$failedSec%.3f"""
+    val failedField = {
+      val list =
+        if (failed.isEmpty) ""
+        else failed.map(n => "\"" + esc(n) + "\"")
+          .mkString(""","failed":[""", ",", "]")
+      // failed_sec can be non-zero with an empty failed list (a retry
+      // threw after a valid first run) — report it whenever time burned
+      val sec = if (failedSec > 0) f""","failed_sec":$failedSec%.3f""" else ""
+      list + sec
+    }
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField}""")
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField}""")
   }

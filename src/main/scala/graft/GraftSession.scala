@@ -72,14 +72,24 @@ object GraftSession {
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** The cluster state-store posture as conf pairs — the SINGLE source
+    * consumed by [[clusterBuilder]], the `SPARK_GRAFT_STATE_STORE`
+    * local-measurement knob, and the heap-vs-RocksDB equality spec, so
+    * a posture change (new RocksDB tuning key, changelog version)
+    * reaches all three or none. */
+  val RocksDbStateStoreConfigs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true")
+
   def clusterBuilder(master: String, executors: Int,
       coresPerExecutor: Int): SparkSession.Builder =
-    builder(master, clusterShufflePartitions(executors, coresPerExecutor))
-      .config("spark.executor.instances", executors.toString)
-      .config("spark.executor.cores", coresPerExecutor.toString)
-      .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-      .config("spark.sql.streaming.stateStore.rocksdb" +
-        ".changelogCheckpointing.enabled", "true")
+    RocksDbStateStoreConfigs.foldLeft(
+      builder(master, clusterShufflePartitions(executors, coresPerExecutor))
+        .config("spark.executor.instances", executors.toString)
+        .config("spark.executor.cores", coresPerExecutor.toString)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 
   /** Retire an engine session: evict every standing frame the registry
     * caches on its behalf (the LSH pair set, IVF cells, admission

@@ -31,6 +31,18 @@ import org.apache.spark.sql.functions._
   * factors; ~1.0 = linear.
   */
 object ScaleProbe {
+  /** Every op name this main can emit, in run order — the
+    * SPARK_GRAFT_PROBE_OPS validator checks filter elements against
+    * this list so a typo or stale name fails loudly instead of
+    * running nothing. Keep in sync with the timed(...) calls below. */
+  val AllOps: Seq[String] = Seq(
+    "exact_dedup_groups", "hll_planner", "minhash_lsh_pairs",
+    "simhash_pairs", "winnow_jaccard_pairs", "connected_components",
+    "neardup_index_probe", "incremental_cc", "cc_chain_default_fallback",
+    "cc_chain_star_rounds", "hot_family_lsh_pairs_guarded",
+    "hot_family_exact_dedup", "ann_brute_top10", "ann_ivf_probe",
+    "ann_ivf_candidates")
+
   def main(args: Array[String]): Unit = {
     val base = args(0)
     val scratch = args(1)
@@ -111,6 +123,15 @@ object ScaleProbe {
     // the fresh-JVM re-measurement protocol (BASELINE.md) for this main.
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
+    // A filter element matching NO known op is a typo or a renamed op
+    // (e.g. a stale name from an older BASELINE row): fail loudly —
+    // a probe that runs nothing and exits 0 records an ABSENT number
+    // where the isolation protocol expected a measurement.
+    only.foreach(_.foreach { fbit =>
+      require(AllOps.exists(_.contains(fbit)),
+        s"SPARK_GRAFT_PROBE_OPS element '$fbit' matches no probe op; " +
+          s"known ops: ${AllOps.mkString(", ")}")
+    })
     // Section gate: run a section's (untimed) setup iff SOME of its FULL
     // op names matches the filter, with the same substring direction
     // timed() uses (filter ⊆ op name). Gating on a short prefix string
@@ -119,6 +140,9 @@ object ScaleProbe {
     def wanted(ops: String*): Boolean =
       only.forall(fs => ops.exists(op => fs.exists(op.contains)))
     def timed(op: String)(body: => Long): Unit = {
+      // keeps AllOps honest: a new timed() op must be registered there
+      // or every run fails immediately, filtered or not
+      require(AllOps.contains(op), s"op '$op' missing from ScaleProbe.AllOps")
       if (!wanted(op)) return
       System.gc()
       val t0 = System.nanoTime()
@@ -306,8 +330,10 @@ object ScaleProbe {
 
     // 7. Brute-force ANN baseline: fixed ~100-query eval set against the
     //    full corpus — linear in corpus size by construction.
-    val n = emb.count()
-    val step = math.max(1L, n / 100L)
+    //    (lazy: a filtered run selecting no ANN op must not pay the
+    //    embeddings scan that sizes the eval set)
+    lazy val n = emb.count()
+    lazy val step = math.max(1L, n / 100L)
     timed("ann_brute_top10") {
       val queries = emb.filter(col("vec_id") % step === 0).limit(100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q"))

@@ -346,8 +346,17 @@ object Dedup {
     // every node's label is min(self, min neighbour)
     val sym = e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("u").as("comp")))
-    val labels = sym.groupBy(col("id")).agg(min(col("comp")).as("mn"))
+    val starLabels = sym.groupBy(col("id")).agg(min(col("comp")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
+    // Nodes whose only edges are self-loops were dropped by the x =!= y
+    // canonicalization but ARE part of minlabel's label set (its adj
+    // keeps (a,a)) — restore them as singletons so both algorithms
+    // label the same node set and the non-convergence auto-fallback
+    // can never shrink the result.
+    val nodes = edges.select(col("a_id").as("id"))
+      .union(edges.select(col("b_id").as("id"))).distinct()
+    val labels = nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     (labels, i)
   }
 

@@ -55,12 +55,9 @@ object StreamingQueries extends QueryPack {
     // default) so the local bench can measure its per-batch commit
     // cost; unset, the local heap provider stands (see GraftSession
     // Scaladoc for the posture split).
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        graft.GraftSession.RocksDbProvider)
-      ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
-        ".changelogCheckpointing.enabled", "true")
-    }
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      graft.GraftSession.RocksDbStateStoreConfigs
+        .foreach { case (k, v) => ss.conf.set(k, v) }
     ss
   }
 

@@ -235,6 +235,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.count() === n, "every chain node must be labelled")
   }
 
+  test("star CC labels self-loop-only nodes as singletons, like minlabel") {
+    // minlabel's adjacency keeps (a,a), so a node whose only edge is a
+    // self-loop IS in its label set; star's u>v canonicalization drops
+    // self-loops, and pre-fix the node vanished from star's labels —
+    // meaning the non-convergence auto-fallback could silently SHRINK
+    // the returned node set. Both algorithms must label the same nodes.
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("a_id", "b_id")
+    val expect = Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+    val minlabel = Dedup.connectedComponents(edges, algorithm = "minlabel")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponents(edges, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minlabel === expect)
+    assert(star === expect)
+  }
+
   test("star CC: long path converges in ≤ log2(n)+2 rounds, labels match minlabel") {
     // 64-node path (diameter 63): min-label propagation needs 63 rounds;
     // the alternating star algorithm must finish in ≤ log2(64)+2 = 8.

@@ -62,7 +62,7 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     // provider override off the shared session
     val ss = spark.newSession()
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      GraftSession.RocksDbProvider)
     def drain(): Unit = {
       val q = Stateful.runningTotalsTws(
           ss.readStream.schema(schema).json(in), "key", "v")
@@ -210,12 +210,9 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
       val chk = Files.createTempDirectory("ssj_chk_").toString
       val out = Files.createTempDirectory("ssj_out_").toString
       val ss = spark.newSession()
-      if (rocks) {
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          GraftSession.RocksDbProvider)
-        ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
-          ".changelogCheckpointing.enabled", "true")
-      }
+      if (rocks)
+        GraftSession.RocksDbStateStoreConfigs
+          .foreach { case (k, v) => ss.conf.set(k, v) }
       def src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).json(in)
       val clicks = src.filter(col("kind") === "click")
