@@ -331,9 +331,14 @@ object ScaleProbe {
     // 7. Brute-force ANN baseline: fixed ~100-query eval set against the
     //    full corpus — linear in corpus size by construction.
     //    (lazy: a filtered run selecting no ANN op must not pay the
-    //    embeddings scan that sizes the eval set)
+    //    embeddings scan that sizes the eval set — but any selected ANN
+    //    op forces it BEFORE its timed body, so the sizing scan never
+    //    rides on a measurement)
     lazy val n = emb.count()
     lazy val step = math.max(1L, n / 100L)
+    if (wanted("ann_brute_top10", "ann_ivf_probe", "ann_ivf_candidates")) {
+      val _ = step
+    }
     timed("ann_brute_top10") {
       val queries = emb.filter(col("vec_id") % step === 0).limit(100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q"))
