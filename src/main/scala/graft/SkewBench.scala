@@ -28,13 +28,18 @@ object SkewBench {
     // 20× (12M rows at sf0.1, ~10.8M on the hot key) so the hot task is
     // long enough to dominate — at sf0.1's raw 600k rows every strategy
     // finishes sub-second and the comparison measures noise.
+    // Cold keys are % 999 + 1 (range 1..999, disjoint from hot key 0):
+    // the earlier % 1000 of the already-%10-filtered orderkeys could
+    // only produce multiples of 10 — ~99 distinct cold keys, with the
+    // 0 residue silently folding into the hot key — so the measured
+    // distribution was 10× coarser than the one documented here.
     val skewed = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"),
         col("l_quantity").as("v"))
       .withColumn("rep", explode(typedLit((1 to 20).toArray)))
       .withColumn("k",
         when(col("l_orderkey") % 10 =!= 0, lit(0L))
-          .otherwise(col("l_orderkey") % 1000))
+          .otherwise(col("l_orderkey") % 999 + 1))
       .withColumn("l_partkey", col("l_partkey") * 100 + col("rep"))
       // MEASURED prerequisite for AQE skew splitting: the splitter
       // slices a hot reduce partition by MAPPER ranges, so a 3-mapper

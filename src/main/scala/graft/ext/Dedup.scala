@@ -245,9 +245,19 @@ object Dedup {
     val contraction = oldLabels
       .select(col("id").as("a_id"), col("comp").as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
-    connectedComponents(
+    val propagated = connectedComponents(
       newEdges.select(col("a_id"), col("b_id")).unionByName(contraction),
       maxIter, algorithm)
+    // Standing SINGLETON clusters (id == comp, no member edge) produce
+    // no contraction edge; if the delta doesn't touch them either, they
+    // are absent from the propagation's node set and would silently
+    // drop out of the maintained label table — one lost row per
+    // standing singleton per fold. Nothing can have re-labelled them
+    // (no edge reaches an untouched singleton), so restoring the old
+    // rows verbatim preserves the cold-run identity.
+    propagated.unionByName(
+      oldLabels.select(col("id"), col("comp"))
+        .join(propagated.select(col("id")), Seq("id"), "left_anti"))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -439,8 +449,16 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket): DataFrame =
+    // cache = false: this one-shot convenience returns a frame and
+    // discards the index, so cached member frames would be unowned
+    // pinned memory no caller could ever release (the leak class
+    // FrameCache exists to prevent). Cost: the corpus shingle frame is
+    // recomputed for the band build and the verify join (≤2× map-side
+    // hashing). Repeated probes of one corpus should build the index
+    // once via [[buildNearDupIndex]] and own its lifecycle.
     buildNearDupIndex(corpus, idCol, textCol, shingleN, k, bands,
-      threshold, maxBucket).probe(delta, idCol, textCol, shingleN)
+      threshold, maxBucket, cache = false).probe(delta, idCol, textCol,
+      shingleN)
 
   /** (id, hs) shingle-hash frame — the shared prep of every MinHash
     * path (arrays feed both the signature lineage and the verify
@@ -512,17 +530,23 @@ object Dedup {
   def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8,
-      maxBucket: Int = DefaultMaxBucket): NearDupIndex = {
-    val shC = shingleHashFrame(corpus, idCol, textCol, shingleN,
-      cache = true)
+      maxBucket: Int = DefaultMaxBucket,
+      cache: Boolean = true): NearDupIndex = {
+    val shC = shingleHashFrame(corpus, idCol, textCol, shingleN, cache)
     val bandsC = bandRowsOf(shC, k, bands)
-    val guarded = bandsC.join(
+    val guarded0 = bandsC.join(
       bandsC.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") <= maxBucket)
         .select(col("band"), col("bh")),
-      Seq("band", "bh")).cache()
-    NearDupIndex(shC, guarded, k, bands, threshold)
+      Seq("band", "bh"))
+    // cache = false is the one-shot path (the caller will probe once
+    // and discard the index): leave both member frames uncached so
+    // nothing outlives the returned frame's evaluation. unpersist() on
+    // an uncached frame is a no-op, so the lifecycle contract holds
+    // either way.
+    NearDupIndex(shC, if (cache) guarded0.cache() else guarded0,
+      k, bands, threshold)
   }
 
   /** Reassemble a [[NearDupIndex]] from persisted parts (the

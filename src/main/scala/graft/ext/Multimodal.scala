@@ -35,12 +35,13 @@ object Multimodal {
 
   object MediaCodec {
     /** Engine-portable 60-bit hash of raw bytes (same definition as
-      * [[Hashing.md5Long]] — first 15 hex chars of md5). */
-    def md5Long(bytes: Array[Byte]): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(bytes).map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
+      * [[Hashing.md5Long]] — first 15 hex chars of md5). Delegates to
+      * the [[graft.functions.Md5Hash]] kernel primitive (first 8 digest
+      * bytes >>> 4 — bit-identical, no hex-string round trip): one
+      * definition of the engine's hottest hash, one place it can ever
+      * change. */
+    def md5Long(bytes: Array[Byte]): Long =
+      graft.functions.Md5Hash.hash(bytes)
 
     /** STUB decode: a real implementation would parse the container and
       * codec (JPEG/PNG/PCM/H.264) here. Deterministic fake: dimensions

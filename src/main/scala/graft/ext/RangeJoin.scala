@@ -26,11 +26,19 @@ object RangeJoin {
       bucketSeconds: Long): DataFrame = {
     val pb = points.withColumn("__bucket",
       bucketOf(col(pointTs), bucketSeconds))
+    // Guard degenerate ranges BEFORE sequence(): with end <= start the
+    // bucket bounds invert and sequence(a, b < a) COUNTS DOWN — an
+    // empty interval would explode into two spurious buckets, and a
+    // data-error inverted range (end years before start) into
+    // span/width rows, a shuffle blowup for output the exact predicate
+    // discards anyway. The correct bucket set for end <= start (end
+    // exclusive ⇒ the interval contains nothing) is empty: explode()
+    // drops the NULL-array rows.
     val rb = ranges.withColumn("__bucket",
-      explode(sequence(
+      explode(when(col(endCol) > col(startCol), sequence(
         bucketOf(col(startCol), bucketSeconds),
         // end is exclusive: the bucket of (end - 1s) is the last overlapped
-        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds)))))
     pb.join(rb, "__bucket")
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")

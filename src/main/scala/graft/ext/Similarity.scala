@@ -47,12 +47,12 @@ object Similarity {
   /** ±1 hyperplane component p,i — bit 0 of the engine-portable 60-bit
     * md5 hash of "p,i" (same value as SQL
     * ('0x'||substr(md5(p||','||i),1,15))::BIGINT % 2). */
-  def planeComponent(p: Int, i: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p,$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(15)
-    if (BigInt(hex, 16).testBit(0)) 1.0 else -1.0
-  }
+  def planeComponent(p: Int, i: Int): Double =
+    // bit 0 of the Md5Hash kernel value == bit 0 of the 15-hex-char
+    // parse (both are bit 4 of the raw digest's first 8 bytes) — reuse
+    // the one primitive instead of a hex/BigInt re-implementation
+    if ((graft.functions.Md5Hash.hash(s"$p,$i".getBytes("UTF-8")) & 1L) == 1L)
+      1.0 else -1.0
 
   /** Literal ±1 hyperplane array for plane `p` (evaluated once at plan
     * time — zero per-row hashing cost). */

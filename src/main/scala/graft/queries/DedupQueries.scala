@@ -67,6 +67,24 @@ object DedupQueries extends QueryPack {
       (SparkSession, String, String), DataFrame](
     "dedup-scratch", k => Some(k._1))(v => { v.unpersist(); () })
 
+  /** q80's STANDING corpus band index, memoized per (session, dir) and
+    * registered for teardown eviction — the nightly-ingest shape builds
+    * the corpus index once per snapshot and probes every delta batch
+    * against it. A per-invocation `minhashLshPairsAcross` call rebuilt
+    * (and, worse, left behind two unowned cached member frames) on
+    * every run — the r5-ADVICE leak class, found again by review. */
+  private val ndIndexCache = graft.runtime.FrameCache.of[
+      (SparkSession, String), Dedup.NearDupIndex](
+    "dedup-q80-index", k => Some(k._1))(v => { v.unpersist(); () })
+  private def q80CorpusIndex(s: SparkSession, d: String): Dedup.NearDupIndex =
+    ndIndexCache.get((s, d)) {
+      Dedup.buildNearDupIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 3, k = K, bands = Bands,
+        threshold = 0.8)
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Exact + canonical (bag-of-words) dedup via hash groupBy ----
@@ -345,9 +363,8 @@ object DedupQueries extends QueryPack {
       val corpusKeys = corpus
         .select(Dedup.contentKey(col("text")).as("ck")).distinct()
       val exactSurv = delta.join(corpusKeys, Seq("ck"), "left_anti")
-      val nearIds = Dedup
-        .minhashLshPairsAcross(exactSurv, corpus, "doc_id", "text",
-          shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+      val nearIds = q80CorpusIndex(s, d)
+        .probe(exactSurv, "doc_id", "text", shingleN = 3)
         .select(col("d_id").as("doc_id")).distinct()
         .withColumn("nd", lit(1L))
       delta.select(col("doc_id"), col("source"))

@@ -69,7 +69,13 @@ object TopicRouter {
         if (!subset.isEmpty) sink(subset)
       }
       fallback.foreach { sink =>
-        val rest = df.filter(!col(topicCol).isin(sinks.keys.toSeq: _*))
+        // isNull OR NOT isin: a NULL routing column makes both the
+        // per-topic equality and the bare !isin(...) predicate NULL —
+        // without the explicit null arm such rows matched NO sink and
+        // silently vanished, violating the dead-letter posture (q107)
+        // that unroutable input is never dropped.
+        val rest = df.filter(col(topicCol).isNull ||
+          !col(topicCol).isin(sinks.keys.toSeq: _*))
         if (!rest.isEmpty) sink(rest)
       }
     } finally df.unpersist()

@@ -53,6 +53,13 @@ object ZOrderLayout {
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
       files: Int, path: String): Unit = {
     val r = df.agg(max(col(xCol)), max(col(yCol))).head
+    // Empty input: max() is NULL and there is nothing to order — write
+    // the empty frame as-is (a maintenance pass over an empty partition
+    // must no-op, not NPE on the null aggregate).
+    if (r.isNullAt(0) || r.isNullAt(1)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     // getAs[Number]: accept INT/SMALLINT keys, not just LONG
     val (xm, ym) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
     val grid = 1L << bits

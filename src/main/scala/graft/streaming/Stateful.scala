@@ -17,13 +17,27 @@ object Stateful {
   final case class Session(key: Long, n: Long, total: Double,
       start: java.sql.Timestamp, end: java.sql.Timestamp)
 
-  /** Event-time sessionizer over `flatMapGroupsWithState`: events extend
-    * the key's open session; a COMPLETED session is emitted only once
-    * the event-time timeout (the inactivity gap, tracked against the
-    * watermark) fires. This is the custom-state generalization of
-    * `session_window` — arbitrary per-session payloads and emission
-    * policy. The watermark is applied here (after the projection —
-    * renaming a column drops its watermark metadata); append mode. */
+  /** Keyed state of [[sessionize]]: ALL of the key's sessions still
+    * inside the watermark horizon, disjoint and gap-separated. */
+  final case class SessionSet(sessions: Seq[Session])
+
+  /** Event-time sessionizer over `flatMapGroupsWithState`: events merge
+    * into any session within the inactivity gap of their timestamp; a
+    * session is emitted only once the watermark passes its end + gap —
+    * the point where no admissible event can extend or merge it. This
+    * is the custom-state generalization of `session_window` — arbitrary
+    * per-session payloads and emission policy — with the same output
+    * contract: results depend only on the event set and the watermark,
+    * never on how micro-batches slice the arrivals. That requires
+    * keeping EVERY in-horizon session in state, not just the latest:
+    * a single-session state must either misfile an out-of-order event
+    * that precedes the open session by more than the gap, or emit the
+    * older session early where a later above-watermark event could
+    * still have merged into it. Events below the watermark are dropped
+    * (session_window's late-data contract; flatMapGroupsWithState does
+    * not pre-filter them). The watermark is applied here (after the
+    * projection — renaming a column drops its watermark metadata);
+    * append mode. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, gapMs: Long,
       watermarkDelay: String = "1 minute"): Dataset[Session] = {
@@ -34,41 +48,38 @@ object Stateful {
       .withWatermark("_2", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Session, Session](
+      .flatMapGroupsWithState[SessionSet, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[Session]) =>
-          if (state.hasTimedOut) {
-            // inactivity gap elapsed (watermark passed end + gap):
-            // emit the completed session and clear
-            val done = state.get
-            state.remove()
-            Iterator.single(done)
-          } else {
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
-            var cur = state.getOption
-            val completed = Seq.newBuilder[Session]
-            sorted.foreach { case (_, ts, v) =>
-              cur match {
-                case Some(s) if ts.getTime - s.end.getTime < gapMs =>
-                  // out-of-order merge (cross-batch, still above watermark):
-                  // extend BOTH bounds so start is the earliest contributor
-                  cur = Some(s.copy(n = s.n + 1, total = s.total + v,
-                    start = if (ts.before(s.start)) ts else s.start,
-                    end = if (ts.after(s.end)) ts else s.end))
-                case Some(s) => // gap exceeded within the batch
-                  completed += s
-                  cur = Some(Session(key, 1, v, ts, ts))
-                case None =>
-                  cur = Some(Session(key, 1, v, ts, ts))
-              }
+         state: GroupState[SessionSet]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val standing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged =
+            if (state.hasTimedOut) standing
+            else {
+              // each admissible event is a unit session; sort-and-sweep
+              // merges chains transitively (an event can bridge two
+              // standing sessions into one)
+              val units = rows
+                .filter(_._2.getTime >= wm) // drop below-watermark lates
+                .map { case (_, ts, v) => Session(key, 1, v, ts, ts) }
+              (standing ++ units).sortBy(s => (s.start.getTime, s.end.getTime))
+                .foldLeft(List.empty[Session]) {
+                  case (cur :: done, s)
+                      if s.start.getTime - cur.end.getTime < gapMs =>
+                    cur.copy(n = cur.n + s.n, total = cur.total + s.total,
+                      end = if (s.end.after(cur.end)) s.end else cur.end
+                    ) :: done
+                  case (acc, s) => s :: acc
+                }.reverse
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end.getTime + gapMs)
-            }
-            completed.result().iterator
-          }
+          // a session is final once the watermark passes end + gap
+          val (done, open) = merged.partition(_.end.getTime + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessionSet(open))
+            state.setTimeoutTimestamp(open.map(_.end.getTime).min + gapMs)
+          } else state.remove()
+          done.sortBy(_.start.getTime).iterator
       }
   }
 

@@ -174,6 +174,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc(12L) === 10L && inc(31L) === 30L)
   }
 
+  test("incremental CC preserves standing singleton clusters the delta never touches") {
+    // A singleton (id == comp, no member edge) yields NO contraction
+    // edge — before the restore step it silently dropped out of the
+    // maintained label table on every fold. 40 is untouched (must
+    // survive verbatim); 41 is a standing singleton the delta connects
+    // (must be re-labelled, not duplicated).
+    val standing = Seq((1L, 1L), (2L, 1L), (40L, 40L), (41L, 41L))
+      .toDF("id", "comp")
+    val delta = Seq((41L, 2L)).toDF("a_id", "b_id")
+    val inc = Dedup.connectedComponentsIncremental(standing, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(inc.length === inc.map(_._1).distinct.length) // no dup ids
+    assert(inc.toMap === Map(1L -> 1L, 2L -> 1L, 40L -> 40L, 41L -> 1L))
+  }
+
   test("simhash banding: 15-bit chunks shrink candidates vs 8-bit, same verified pairs") {
     // 1,500 distinct random-token docs + 10 planted near-dup clones.
     // With 8-bit chunks the keyspace is 4×256 buckets → heavy random

@@ -123,4 +123,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(Dedup.sizeRatioGuard(col("ha"), col("hb"), 0.6)).head.getBoolean(0)
     assert(!pruned)
   }
+
+  test("pointInRange: empty and inverted ranges contribute zero buckets, not a countdown") {
+    // sequence(a, b) with b < a counts DOWN: an unguarded empty range
+    // [t, t) exploded into two spurious buckets and an inverted range
+    // (end before start — a data error) into span/width rows. Both must
+    // yield the empty bucket set: with exclusive end, nothing can ever
+    // fall inside.
+    val points = Seq("2025-03-01 10:15:00", "2025-03-01 11:00:00")
+      .toDF("p").select(to_timestamp(col("p")).as("p_ts"))
+    val ranges = Seq(
+        ("ok", "2025-03-01 10:00:00", "2025-03-01 10:30:00"),
+        ("empty", "2025-03-01 11:00:00", "2025-03-01 11:00:00"),
+        // inverted by a year — with 60 s buckets an unguarded explode
+        // is ~525k rows for this one row
+        ("inverted", "2025-03-01 12:00:00", "2024-03-01 12:00:00"))
+      .toDF("tag", "s", "e")
+      .select(col("tag"), to_timestamp(col("s")).as("s_ts"),
+        to_timestamp(col("e")).as("e_ts"))
+    val got = graft.ext.RangeJoin
+      .pointInRange(points, "p_ts", ranges, "s_ts", "e_ts",
+        bucketSeconds = 60)
+      .select(col("tag")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("ok"))
+  }
 }

@@ -139,6 +139,66 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
       === "2025-01-01T10:05:00Z")
   }
 
+  test("sessionizer: cross-batch event beyond the gap splits; within-gap event bridges two sessions") {
+    // The single-session state this replaced merged ANY above-watermark
+    // out-of-order event into the open session (ts - end < gap, even
+    // with ts far BEFORE start - gap), so session assignment depended
+    // on which micro-batch delivered the event. The interval contract:
+    // same event set + same watermark ⇒ same sessions, however batches
+    // slice the arrivals.
+    val in = Files.createTempDirectory("sesssp_in_").toString
+    val chk = Files.createTempDirectory("sesssp_chk_").toString
+    val out = Files.createTempDirectory("sesssp_out_").toString
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val q = Stateful.sessionize(
+          spark.readStream.schema(schema).json(in),
+          "key", "ts", "v", gapMs = 10 * 60 * 1000,
+          watermarkDelay = "2 hours") // admit deep out-of-order arrivals
+        .toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // key 5: open session at 12:00. key 6: two standing sessions 18 min
+    // apart (11:42, 12:00). Watermark after the batch: 10:00.
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"key":5,"ts":"2025-01-01T12:00:00.000Z","v":1.0}
+        |{"key":6,"ts":"2025-01-01T11:42:00.000Z","v":1.0}
+        |{"key":6,"ts":"2025-01-01T12:00:00.000Z","v":2.0}""".stripMargin)
+    drain()
+    // key 5's 10:30 is 90 min before the open session — above the
+    // watermark but beyond the gap: a SEPARATE session, not a merge.
+    // key 6's 11:51 is within the gap of both standing sessions — they
+    // must merge transitively into one.
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"key":5,"ts":"2025-01-01T10:30:00.000Z","v":7.0}
+        |{"key":6,"ts":"2025-01-01T11:51:00.000Z","v":4.0}""".stripMargin)
+    drain()
+    // push the watermark past every end + gap → all sessions emit
+    Files.writeString(Paths.get(in, "b3.json"),
+      """{"key":99,"ts":"2025-01-01T18:00:00.000Z","v":0.1}""")
+    drain()
+    drain()
+    val got = spark.read.parquet(s"$out/data")
+      .where(col("key").isin(5, 6)).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("total"),
+        r.getAs[java.sql.Timestamp]("start").toInstant.toString,
+        r.getAs[java.sql.Timestamp]("end").toInstant.toString)).toSet
+    assert(got === Set(
+      (5L, 1L, 7.0, "2025-01-01T10:30:00Z", "2025-01-01T10:30:00Z"),
+      (5L, 1L, 1.0, "2025-01-01T12:00:00Z", "2025-01-01T12:00:00Z"),
+      (6L, 3L, 7.0, "2025-01-01T11:42:00Z", "2025-01-01T12:00:00Z")))
+  }
+
   test("flatMapGroupsWithState sessionizer emits completed sessions on gap/timeout") {
     val in = Files.createTempDirectory("sess_in_").toString
     val chk = Files.createTempDirectory("sess_chk_").toString

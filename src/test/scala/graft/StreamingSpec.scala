@@ -66,7 +66,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("TopicRouter fans one batch out to per-topic sinks + fallback") {
     val out = tmpDir("router_")
-    val df = Seq(("xmlt", 1), ("csv", 2), ("xmlt", 3), ("mystery", 4))
+    // the NULL-topic row must reach the fallback, not vanish: both the
+    // per-topic equality and a bare !isin(...) evaluate to NULL on it
+    val df = Seq(("xmlt", 1), ("csv", 2), ("xmlt", 3), ("mystery", 4),
+        (null.asInstanceOf[String], 5))
       .toDF("topic", "v")
     TopicRouter.route(df, "topic",
       Map(
@@ -77,7 +80,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       fallback = Some(d => d.write.mode("append").parquet(s"$out/other")))
     assert(spark.read.parquet(s"$out/xmlt").count() === 2)
     assert(spark.read.parquet(s"$out/csv").count() === 1)
-    assert(spark.read.parquet(s"$out/other").count() === 1)
+    val other = spark.read.parquet(s"$out/other")
+    assert(other.count() === 2)
+    assert(other.where(col("topic").isNull).count() === 1)
   }
 
   test("FileLifecycle: md5-deduped backup, move-to-processed, audit, gunzip") {

@@ -77,6 +77,16 @@ class ZOrderSpec extends AnyFunSuite {
       df.agg(min(col("x")), max(col("x"))).head)
   }
 
+  test("writeZOrdered on an empty frame writes empty output, not an NPE") {
+    import spark.implicits._
+    // max() over zero rows is NULL — the maintenance pass must no-op
+    // (an empty partition/table is a normal compaction input)
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val dir = Files.createTempDirectory("graft_zorder_empty_").toString
+    ZOrderLayout.writeZOrdered(empty, "x", "y", 12, 4, dir)
+    assert(spark.read.parquet(dir).count() === 0)
+  }
+
   test("Compaction.partFiles of a missing directory is empty, not an NPE") {
     assert(graft.sinks.Compaction.partFiles("/nonexistent/graft_dir").isEmpty)
   }
