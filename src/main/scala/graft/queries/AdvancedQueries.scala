@@ -48,14 +48,20 @@ object AdvancedQueries extends QueryPack {
     "q45_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(1).as("is_a"),
-          lit(null).cast("double").as("bval"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("is_a"), lit(null).cast("double").as("bval"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(0).as("is_a"),
-          col("value").as("bval"))
-      // quote rows sort before click rows at equal ts → "<=" semantics
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("is_a"), col("value").as("bval"))
+      // quote rows sort before click rows at equal ts → "<=" semantics;
+      // event_id pins a total order so two same-ts purchases for one
+      // user could never make last(bval) partition-order-dependent.
+      // (The DuckDB ASOF oracle has no such knob — its pick among
+      // equal-ts matches is unspecified — so the cross-engine match
+      // additionally relies on (user_id, ts) being unique per purchase,
+      // which holds in the shipped fixtures at every sf.)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("is_a"))
+        .orderBy(col("ts"), col("is_a"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clicks.unionByName(purchases)
         .withColumn("last_b", last(col("bval"), ignoreNulls = true).over(w))

@@ -67,22 +67,17 @@ object DedupQueries extends QueryPack {
       (SparkSession, String, String), DataFrame](
     "dedup-scratch", k => Some(k._1))(v => { v.unpersist(); () })
 
-  /** q80's STANDING corpus band index, memoized per (session, dir) and
-    * registered for teardown eviction — the nightly-ingest shape builds
-    * the corpus index once per snapshot and probes every delta batch
-    * against it. A per-invocation `minhashLshPairsAcross` call rebuilt
-    * (and, worse, left behind two unowned cached member frames) on
-    * every run — the r5-ADVICE leak class, found again by review. */
-  private val ndIndexCache = graft.runtime.FrameCache.of[
-      (SparkSession, String), Dedup.NearDupIndex](
-    "dedup-q80-index", k => Some(k._1))(v => { v.unpersist(); () })
+  /** q80's STANDING corpus band index — the nightly-ingest shape
+    * builds the corpus index once per snapshot and probes every delta
+    * batch against it. A per-invocation `minhashLshPairsAcross` call
+    * rebuilt (and, worse, left behind two unowned cached member
+    * frames) on every run — the r5-ADVICE leak class, found again by
+    * review. Shares [[StandingNearDup]] with q105's streaming gate, so
+    * q80 also gets the artifact save/load restart seam. */
   private def q80CorpusIndex(s: SparkSession, d: String): Dedup.NearDupIndex =
-    ndIndexCache.get((s, d)) {
-      Dedup.buildNearDupIndex(
-        Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
-          .select(col("doc_id"), col("text")),
-        "doc_id", "text", shingleN = 3, k = K, bands = Bands,
-        threshold = 0.8)
+    StandingNearDup.index(s, d, "q80-neardup") {
+      Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("text"))
     }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -168,6 +168,20 @@ object SimilarityQueries extends QueryPack {
   private def ivfCandidates(s: SparkSession, d: String): DataFrame =
     candCache.get((s, d, "ivf"))(buildIvfCandidates(s, d).cache())
 
+  /** Exact brute-force top-3, memoized AND CACHED like the candidate
+    * frames: it is the ground truth that FIVE evaluation queries
+    * (q57/q62/q64/q65/q69) join against — uncached, each consumer
+    * re-ran the O(corpus × TargetQueries) scan + window, the single
+    * most expensive frame in the pack and the one whose cost grows
+    * linearly with corpus size. */
+  private def bruteForceTop3(s: SparkSession, d: String): DataFrame =
+    candCache.get((s, d, "bf")) {
+      val e = prepped(s, d)
+      val q = e.filter(isQuery(s, d))
+        .select(col("vec_id").as("q_id"), col("ne").as("qe"))
+      Similarity.bruteForceTopK(e, q, 3).cache()
+    }
+
   private def buildLshCandidates(s: SparkSession, d: String): DataFrame = {
     var e = prepped(s, d)
     for (t <- 0 until AnnTables) {
@@ -310,13 +324,8 @@ object SimilarityQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Exact baseline: brute-force cosine top-3 per query vector ----
-    "q38_cosine_topk" -> ((s, d) => {
-      val e = prepped(s, d)
-      val q = e.filter(isQuery(s, d))
-        .select(col("vec_id").as("q_id"), col("ne").as("qe"))
-      Similarity.bruteForceTopK(e, q, 3)
-        .orderBy(col("q_id"), col("rn"))
-    }),
+    "q38_cosine_topk" -> ((s, d) =>
+      bruteForceTop3(s, d).orderBy(col("q_id"), col("rn"))),
 
     // ---- ANN path 1: multi-table multi-probe sign-LSH top-3 ----
     "q39_ann_lsh" -> ((s, d) => topK(lshCandidates(s, d), 3)),
@@ -348,7 +357,7 @@ object SimilarityQueries extends QueryPack {
     //      against the exact brute-force top-3 (the metric an ANN
     //      deployment is judged by). Composes the three queries. ----
     "q57_ann_recall" -> ((s, d) => {
-      val bf = queries("q38_cosine_topk")(s, d)
+      val bf = bruteForceTop3(s, d)
         .select(col("q_id"), col("vec_id"))
       val lsh = queries("q39_ann_lsh")(s, d)
         .select(col("q_id"), col("vec_id"), lit(1).as("lsh_hit"))
@@ -388,7 +397,7 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-      queries("q38_cosine_topk")(s, d)
+      bruteForceTop3(s, d)
         .select(col("q_id"), col("vec_id"))
         .join(top, Seq("q_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_true"),
@@ -421,7 +430,7 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-      queries("q38_cosine_topk")(s, d)
+      bruteForceTop3(s, d)
         .select(col("q_id"), col("vec_id"))
         .join(top, Seq("q_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_true"),
@@ -466,7 +475,7 @@ object SimilarityQueries extends QueryPack {
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
       val adc3 = rr.filter(col("ra") <= 3)
         .select(col("q_id"), col("vec_id"), lit(1).as("ahit"))
-      queries("q38_cosine_topk")(s, d).select(col("q_id"), col("vec_id"))
+      bruteForceTop3(s, d).select(col("q_id"), col("vec_id"))
         .join(top3, Seq("q_id", "vec_id"), "left")
         .join(adc3, Seq("q_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_true"),
@@ -519,7 +528,7 @@ object SimilarityQueries extends QueryPack {
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
       val adc3 = rr.filter(col("ra") <= 3)
         .select(col("q_id"), col("vec_id"), lit(1).as("ahit"))
-      queries("q38_cosine_topk")(s, d).select(col("q_id"), col("vec_id"))
+      bruteForceTop3(s, d).select(col("q_id"), col("vec_id"))
         .join(top3, Seq("q_id", "vec_id"), "left")
         .join(adc3, Seq("q_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_true"),

@@ -140,40 +140,11 @@ object StreamingQueries extends QueryPack {
       }
     }
 
-  private val ndIndexCache = graft.runtime.FrameCache.of[
-      (SparkSession, String), graft.ext.Dedup.NearDupIndex](
-    "q105-neardup-index", k => Some(k._1))(v => { v.unpersist(); () })
   private def standingNearDupIndex(s: SparkSession, d: String)
       : graft.ext.Dedup.NearDupIndex =
-    ndIndexCache.get((s, d)) {
-      import graft.sinks.ArtifactStore
-      val corpus = Tables.documents(s, d).filter(col("doc_id") % 9 =!= 4)
+    StandingNearDup.index(s, d, "q105-neardup") {
+      Tables.documents(s, d).filter(col("doc_id") % 9 =!= 4)
         .select(col("doc_id"), col("text"))
-      val dirOpt = ArtifactStore.configuredDir(s, "q105-neardup", d)
-      lazy val snap = ArtifactStore.snapshot(corpus, Seq("doc_id", "text"))
-      def build(origin: String): graft.ext.Dedup.NearDupIndex = {
-        val idx = graft.ext.Dedup.buildNearDupIndex(corpus, "doc_id", "text")
-        dirOpt.foreach { dir =>
-          ArtifactStore.saveNearDupIndex(idx, dir, snap)
-          ArtifactStore.lastOrigin("q105-neardup") = origin
-        }
-        idx
-      }
-      dirOpt match {
-        case Some(dir) if ArtifactStore.exists(dir) =>
-          try {
-            val r = ArtifactStore.loadNearDupIndex(s, dir, snap)
-            ArtifactStore.lastOrigin("q105-neardup") = "loaded"
-            r
-          } catch {
-            case e @ (_: IllegalArgumentException
-                | _: java.io.FileNotFoundException) =>
-              log.warn(s"stale/incompatible near-dup index at $dir " +
-                s"(${e.getMessage}) — rebuilding for the current snapshot")
-              build("rebuilt")
-          }
-        case _ => build("built")
-      }
     }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -534,6 +505,13 @@ object StreamingQueries extends QueryPack {
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // DELIBERATELY uncached (unlike q105/q107's per-batch frames,
+          // and re-affirmed when review re-flagged it): the lineage here
+          // is one JSON file read + map-side md5/bloom probes, and an r5
+          // measurement showed cache() overhead costing MORE than the
+          // ≤3 re-evaluations it saves (5.2 vs 3.4 s total; BASELINE.md
+          // r5 row). Cache per-batch frames only when lineage is
+          // expensive — a split/probe map stage is not.
           val withCk = batch
             .withColumn("ck", md5(col("text").cast("binary")))
           val hit = graft.ext.BloomPrune.mightContain(bloom, col("ck"))
