@@ -36,6 +36,28 @@ object VecDotKernel {
     s
   }
   def dotFD(a: ArrayData, b: ArrayData): Double = dotDF(b, a)
+
+  /** Null-tolerant variant for arrays whose TYPE admits null elements
+    * (the session-registered SQL `vec_dot` can receive
+    * `array(1.0d, NULL)`): any null element nulls the whole result,
+    * exactly like the `aggregate(zip_with(...))` composition it
+    * replaces (null product → null fold). Boxed return: null = NULL.
+    * The engine's own dense-vector columns are containsNull = false and
+    * never pay this branchier loop — kernel choice is plan-time. */
+  def dotNullable(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
 }
 
 /** Native codegen'd dot product (SURVEY §2.10 ladder (b): custom
@@ -82,10 +104,24 @@ case class VecDot(left: Expression, right: Expression)
     case _                        => "dotFD"
   }
 
+  /** True when either child's array TYPE admits null elements — then
+    * the dense kernels (getDouble on a null slot reads garbage or
+    * NPEs) are unsound and the null-probing variant runs instead.
+    * Plan-time: the engine's own vector columns are
+    * containsNull = false and keep the branch-free loop. */
+  private lazy val mayHaveNullElements =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  private lazy val (leftFloat, rightFloat) =
+    (elem(left) == FloatType, elem(right) == FloatType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
+    else if (mayHaveNullElements)
+      VecDotKernel.dotNullable(x, y, leftFloat, rightFloat)
     else kernel match {
       case "dotDD" => VecDotKernel.dotDD(x, y)
       case "dotFF" => VecDotKernel.dotFF(x, y)
@@ -95,12 +131,27 @@ case class VecDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      if ($a.numElements() == $b.numElements()) {
-        ${ev.value} = graft.functions.VecDotKernel.$kernel($a, $b);
-      } else {
-        ${ev.isNull} = true;
-      }""")
+    if (mayHaveNullElements) {
+      // fresh name: two vec_dots in one codegen'd stage must not
+      // declare the same Java local
+      val r = ctx.freshName("vecDotBoxed")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() == $b.numElements()) {
+          java.lang.Double $r = graft.functions.VecDotKernel
+            .dotNullable($a, $b, $leftFloat, $rightFloat);
+          if ($r == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = $r.doubleValue(); }
+        } else {
+          ${ev.isNull} = true;
+        }""")
+    }
+    else
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() == $b.numElements()) {
+          ${ev.value} = graft.functions.VecDotKernel.$kernel($a, $b);
+        } else {
+          ${ev.isNull} = true;
+        }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

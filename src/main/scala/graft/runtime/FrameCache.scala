@@ -50,6 +50,9 @@ final class FrameCache[K, V](
     }
   }
 
+  /** Current entry for `k`, if any — no build, no lock. */
+  def peek(k: K): Option[V] = Option(map.get(k))
+
   /** Unpersist + drop every entry matching `p`; returns entries dropped. */
   def evict(p: K => Boolean): Int = map.synchronized {
     val it = map.entrySet().iterator()

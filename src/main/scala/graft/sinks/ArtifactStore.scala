@@ -231,7 +231,17 @@ object ArtifactStore {
   private def readBlob(path: String): Array[Byte] = {
     val p = new Path(path)
     val fs = fsOf(p)
-    val len = fs.getFileStatus(p).getLen.toInt
+    val lenLong = fs.getFileStatus(p).getLen
+    // the whole blob path (read, broadcast, probe) is byte-array-based,
+    // so the JVM's 2^31 array ceiling is a hard limit — fail with an
+    // actionable message instead of the NegativeArraySizeException the
+    // silent toInt overflow produced (a ≥2 GB bloom ≈ 10¹⁰ keys at 1%
+    // fpr; shard the corpus into multiple artifacts before that)
+    require(lenLong <= Int.MaxValue - 16,
+      s"artifact blob $path is $lenLong bytes — beyond the JVM " +
+        "byte-array ceiling; shard the artifact (e.g. per-corpus-" +
+        "partition blooms) instead of growing one blob")
+    val len = lenLong.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()

@@ -18,8 +18,15 @@ object BucketedTables {
 
   val Buckets = 8
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  // FrameCache, not TrieMap.getOrElseUpdate: the latter can run the
+  // builder CONCURRENTLY under racing suites — two threads both DROP +
+  // saveAsTable the same names into different temp dirs, one overwrite
+  // racing the other (the exact double-build defect FrameCache's
+  // scaladoc documents). Values are catalog names, so the unpersist
+  // hook is a no-op; staleness is handled by the catalog validation
+  // below, not eviction.
+  private val cache = graft.runtime.FrameCache.of[String, (String, String)](
+    "bucketed-tables", _ => None)(_ => ())
 
   /** Ensure bucketed copies of (orders, lineitem) for `d`; returns the
     * catalog table names. Memoized names are VALIDATED against the
@@ -27,12 +34,18 @@ object BucketedTables {
     * same JVM has a fresh SharedState, so a remembered name may no
     * longer exist there. */
   def ensure(s: SparkSession, d: String): (String, String) = {
-    cache.get(d).foreach { case (o, l) =>
+    cache.peek(d).foreach { case (o, l) =>
       if (!s.catalog.tableExists(o) || !s.catalog.tableExists(l))
-        cache.remove(d)
+        cache.evict(_ == d)
     }
-    cache.getOrElseUpdate(d, {
-      val tag = (d.hashCode.toLong & 0xffffffffL).toString
+    cache.get(d) {
+      // table tag = sanitized dir + hash of the raw path, matching
+      // ArtifactStore.configuredDir's collision posture: hashCode alone
+      // lets two dirs with colliding hashes silently share table names
+      // (ensure(d2) would recreate them over d2's data while d1's cache
+      // entry still validates and reads the wrong rows)
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_") +
+        "_" + Integer.toHexString(d.hashCode)
       val oT = s"graft_orders_b$tag"
       val lT = s"graft_lineitem_b$tag"
       val base = Files.createTempDirectory("graft_bucketed_").toString
@@ -55,6 +68,6 @@ object BucketedTables {
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
         .format("parquet").saveAsTable(lT)
       (oT, lT)
-    })
+    }
   }
 }

@@ -52,7 +52,8 @@ object ZOrderLayout {
     * catalog. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
       files: Int, path: String): Unit = {
-    val r = df.agg(max(col(xCol)), max(col(yCol))).head
+    val r = df.agg(max(col(xCol)), max(col(yCol)),
+      min(col(xCol)), min(col(yCol))).head
     // Empty input: max() is NULL and there is nothing to order — write
     // the empty frame as-is (a maintenance pass over an empty partition
     // must no-op, not NPE on the null aggregate).
@@ -63,6 +64,20 @@ object ZOrderLayout {
     // getAs[Number]: accept INT/SMALLINT keys, not just LONG
     val (xm, ym) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
     val grid = 1L << bits
+    // Domain guards — violations would not throw, they would SILENTLY
+    // produce overlapping file envelopes (the pruning this writer
+    // exists for, lost without a symptom): a negative key scales to a
+    // negative grid position whose sign bit corrupts the interleave,
+    // and a max key over Long.MaxValue/grid wraps the scale-up multiply
+    // in non-ANSI mode (e.g. z-ordering raw 60-bit md5 hashes at
+    // bits=16). Map such keys into [0, 2^63/grid) first.
+    val (xn, yn) = (r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)
+    require(xn >= 0 && yn >= 0,
+      s"writeZOrdered requires non-negative keys (min $xCol=$xn, " +
+        s"min $yCol=$yn) — shift or hash-fold negative domains first")
+    require(xm <= Long.MaxValue / grid && ym <= Long.MaxValue / grid,
+      s"writeZOrdered key max (${math.max(xm, ym)}) * 2^$bits would " +
+        "overflow the BIGINT scale-up — reduce bits or pre-scale the key")
     // CAST to BIGINT before the scale-up multiply: an INT key times the
     // grid would wrap silently in non-ANSI mode and corrupt z-values
     val zs = zvalue(

@@ -60,6 +60,22 @@ object XmlMeas {
     when(v.isNull || trim(v).isin("NIL", "NULL", ""), lit("0"))
       .otherwise(v).cast("double")
 
+  /** measType array → (p → name) map, null-key-safe and last-wins on
+    * duplicate p (see call site). */
+  private def mtMap(measType: Column): Column = {
+    // map_from_entries keys on the FIRST struct field positionally;
+    // field names stay (_p, _VALUE) — aliases inside a lambda-built
+    // struct are dropped by the analyzer
+    val entries = transform(measType,
+      t => struct(t.getField("_p"), t.getField("_VALUE")))
+    map_from_entries(filter(entries, (e, i) =>
+      e.getField("_p").isNotNull &&
+        !exists(
+          slice(entries, i + lit(2),
+            greatest(lit(0), size(entries) - i - lit(1))),
+          e2 => e2.getField("_p") === e.getField("_p"))))
+  }
+
   /** Flatten a DataFrame carrying one measCollecFile XML document per row
     * into EAV KPI rows (superset of the three reference flows' schemas —
     * callers project the variant they need, SURVEY §1.1).
@@ -82,9 +98,15 @@ object XmlMeas {
       col("mi.job._jobId").as("jobId"),
       col("mi.granPeriod._duration").as("granPeriod"),
       col("mi.granPeriod._endTime").as("endTime"),
-      // positional dictionary measType@p → name, resolved per-row (no join)
-      map_from_entries(transform(col("mi.measType"),
-        t => struct(t.getField("_p"), t.getField("_VALUE")))).as("mt"),
+      // positional dictionary measType@p → name, resolved per-row (no
+      // join). Malformed files must CLEANSE, not kill the drain:
+      // map_from_entries throws on a duplicate key (default
+      // mapKeyDedupPolicy=EXCEPTION) and on a null key, so entries are
+      // pre-filtered — null @p dropped, duplicate @p resolved LAST-wins
+      // to mirror the reference's Python dict build (mypy/xmlonly.py —
+      // later assignments overwrite). O(n²) over measTypes per group;
+      // n is the per-measInfo counter count, tens at most.
+      mtMap(col("mi.measType")).as("mt"),
       explode(col("mi.measValue")).as("mv"))
     val r = mv.select(
       col("fileId"), col("beginTime"), col("localDn"), col("measInfoId"),

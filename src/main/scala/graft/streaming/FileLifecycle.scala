@@ -38,21 +38,26 @@ final class FileLifecycle(conf: Configuration) {
 
   /** Copy `file` into `backupDir` unless a backup with identical content
     * already exists (md5 dedup, reference mypy/xmlonly.py:26-40). The
-    * backup name gets a `backup_<millis>_` prefix; name collisions get a
+    * backup name embeds the content md5 — `backup_<md5>_<millis>_<name>`
+    * — so the dedup check is ONE name glob, not a re-read of every
+    * accumulated backup's bytes (the old all-files contentMd5 sweep was
+    * O(total backup bytes) per call: quadratic over the directory's
+    * lifetime, inside the foreachBatch hot path). Name collisions get a
     * counter suffix (dags/Dag3.py:119-125). Returns true if copied. */
   def backupDeduped(file: Path, backupDir: Path, nowMillis: Long): Boolean = {
     val bfs = fs(backupDir)
     bfs.mkdirs(backupDir)
     val srcMd5 = contentMd5(file)
-    val dup = Option(bfs.globStatus(new Path(backupDir, "backup_*")))
-      .getOrElse(Array.empty)
-      .exists(st => contentMd5(st.getPath) == srcMd5)
+    val dup = Option(bfs.globStatus(new Path(backupDir, s"backup_${srcMd5}_*")))
+      .getOrElse(Array.empty).nonEmpty
     if (dup) false
     else {
-      var target = new Path(backupDir, s"backup_${nowMillis}_${file.getName}")
+      var target =
+        new Path(backupDir, s"backup_${srcMd5}_${nowMillis}_${file.getName}")
       var i = 1
       while (bfs.exists(target)) {
-        target = new Path(backupDir, s"backup_${nowMillis}_${i}_${file.getName}")
+        target = new Path(backupDir,
+          s"backup_${srcMd5}_${nowMillis}_${i}_${file.getName}")
         i += 1
       }
       org.apache.hadoop.fs.FileUtil.copy(
@@ -61,12 +66,19 @@ final class FileLifecycle(conf: Configuration) {
   }
 
   /** Move `file` to `processedDir` with a `processed_<millis>_` prefix
-    * (reference mypy/xmlonly.py:51-62). Returns the target path. */
+    * (reference mypy/xmlonly.py:51-62). Returns the target path.
+    * Hadoop `rename` reports failure as FALSE, not an exception (e.g.
+    * cross-FileSystem move, vanished source) — an unchecked result
+    * would report success while the file stays in the input dir and
+    * gets re-published on the next drain. Fail loudly instead. */
   def moveProcessed(file: Path, processedDir: Path, nowMillis: Long): Path = {
     val pfs = fs(processedDir)
     pfs.mkdirs(processedDir)
     val target = new Path(processedDir, s"processed_${nowMillis}_${file.getName}")
-    pfs.rename(file, target)
+    if (!pfs.rename(file, target))
+      throw new java.io.IOException(
+        s"rename $file -> $target failed (cross-FS move or missing " +
+          "source); file remains unarchived and WOULD be re-processed")
     target
   }
 
@@ -82,24 +94,59 @@ final class FileLifecycle(conf: Configuration) {
 
   /** Decompress every `*.gz` in `srcDir` into `outDir` (reference
     * dags/Dag3.py:94-132); `x.xml.gz`→`x.xml`, `x.gz`→`x.xml`. Moves the
-    * archive to `doneDir`. Returns the number extracted. */
+    * archive to `doneDir`. Returns the number extracted.
+    *
+    * Extraction is STAGED (write `.__extracting`, rename into place on
+    * success — `outDir` is typically the LIVE streaming input dir, so
+    * a direct write would let a drain pick up a half-written XML), and
+    * a corrupt archive is QUARANTINED (`corrupt_` prefix in `doneDir`)
+    * instead of aborting: the old behavior left the partial output at
+    * its final name AND re-threw on the same bad file every run — a
+    * permanently wedged flow from one truncated upload. */
   def gunzipAll(srcDir: Path, outDir: Path, doneDir: Path,
       nowMillis: Long): Int = {
     val sfs = fs(srcDir)
-    fs(outDir).mkdirs(outDir)
+    val ofs = fs(outDir)
+    ofs.mkdirs(outDir)
     val gzs = Option(sfs.globStatus(new Path(srcDir, "*.gz")))
       .getOrElse(Array.empty)
+    var extracted = 0
     gzs.foreach { st =>
       val name = st.getPath.getName
       val outName =
         if (name.endsWith(".xml.gz")) name.dropRight(3)
         else name.dropRight(3) + ".xml"
-      val in: InputStream = new GZIPInputStream(sfs.open(st.getPath))
-      val out = fs(outDir).create(new Path(outDir, outName), true)
-      try IOUtils.copyBytes(in, out, 64 * 1024)
-      finally { in.close(); out.close() }
-      moveProcessed(st.getPath, doneDir, nowMillis)
+      val staged = new Path(outDir, s".${outName}.__extracting")
+      val ok =
+        try {
+          val in: InputStream = new GZIPInputStream(sfs.open(st.getPath))
+          val out = ofs.create(staged, true)
+          try { IOUtils.copyBytes(in, out, 64 * 1024); true }
+          finally { in.close(); out.close() }
+        } catch {
+          case e: java.io.IOException =>
+            log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) — " +
+              "quarantining and continuing")
+            ofs.delete(staged, false)
+            false
+        }
+      if (ok) {
+        val target = new Path(outDir, outName)
+        ofs.delete(target, false) // re-extraction overwrites
+        if (!ofs.rename(staged, target))
+          throw new java.io.IOException(
+            s"rename $staged -> $target failed after extraction")
+        moveProcessed(st.getPath, doneDir, nowMillis)
+        extracted += 1
+      } else {
+        val dfs = fs(doneDir)
+        dfs.mkdirs(doneDir)
+        dfs.rename(st.getPath,
+          new Path(doneDir, s"corrupt_${nowMillis}_$name"))
+      }
     }
-    gzs.length
+    extracted
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

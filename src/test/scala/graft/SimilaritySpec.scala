@@ -66,6 +66,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("vec_dot"))
   }
 
+  test("vec_dot null ELEMENT → NULL, like the composition; nullable-typed non-null arrays still compute") {
+    // the SQL registration exposes the kernel to arbitrary arrays: a
+    // null slot must null the result (aggregate(zip_with) semantics),
+    // not read garbage through getDouble
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d")
+      .head
+    assert(r.isNullAt(0))
+    // containsNull=true TYPE with all-non-null VALUES takes the
+    // null-probing kernel and must still compute the exact dot
+    val r2 = spark.sql(
+      "SELECT vec_dot(array(1.0D, IF(1=2, CAST(NULL AS DOUBLE), 2.0D)), " +
+        "array(3.0D, 4.0D)) AS d").head
+    assert(r2.getDouble(0) === 11.0)
+  }
+
   test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f), 0.0),

@@ -117,6 +117,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(new Path(done, "processed_5_g.xml.gz")))
   }
 
+  test("gunzipAll quarantines a corrupt archive, extracts the rest, never wedges") {
+    val fl = new FileLifecycle(new Configuration())
+    val root = tmpDir("flbad_")
+    val fs = new Path(root).getFileSystem(new Configuration())
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    // one good archive + one truncated (corrupt) one
+    val good = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(root, "gz/ok.xml.gz")))
+    good.write("<y>ok</y>".getBytes); good.close()
+    Files.write(java.nio.file.Paths.get(root, "gz", "bad.xml.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)) // gzip magic, garbage body
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    // the good file extracts, the corrupt one is quarantined — NOT
+    // re-thrown (the old behavior aborted the whole pass and re-failed
+    // on the same file every run, a permanently wedged flow)
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 7L) === 1)
+    assert(Files.readString(
+      java.nio.file.Paths.get(root, "xml", "ok.xml")) === "<y>ok</y>")
+    assert(fs.exists(new Path(done, "corrupt_7_bad.xml.gz")))
+    // no partial bad.xml (staged extraction) and nothing hidden left over
+    assert(!fs.exists(new Path(xmlOut, "bad.xml")))
+    assert(fs.globStatus(new Path(xmlOut, ".*__extracting")) == null ||
+      fs.globStatus(new Path(xmlOut, ".*__extracting")).isEmpty)
+    // idempotent next run: source dir is drained, nothing to re-throw
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 8L) === 0)
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
     val in = tmpDir("ddw_in_")
     val chk = tmpDir("ddw_chk_")

@@ -70,6 +70,25 @@ class XmlMeasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getAs[String]("localDn") == null)) // no managedElement
   }
 
+  test("malformed measType dictionary cleanses: duplicate p last-wins, null p dropped") {
+    // map_from_entries throws on duplicate/null keys by default — one
+    // malformed file must cleanse (reference Python dict semantics:
+    // later assignment wins), never kill the whole drain
+    val xml =
+      """<measCollecFile>
+        |<fileHeader><measCollec beginTime="t0"/></fileHeader>
+        |<measData><measInfo measInfoId="M">
+        |<measType p="1">OLD_NAME</measType>
+        |<measType>NO_P_ATTR</measType>
+        |<measType p="1">NEW_NAME</measType>
+        |<measValue measObjLdn="PLAIN"><r p="1">5</r></measValue>
+        |</measInfo></measData></measCollecFile>""".stripMargin
+    val rows = flat(xml).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("kpiName") === "NEW_NAME") // last wins
+    assert(rows.head.getAs[Double]("kpiValue") === 5.0)
+  }
+
   test("multiple measInfo / measValue explode to the full cross of r rows") {
     val xml =
       """<measCollecFile>

@@ -77,6 +77,24 @@ class ZOrderSpec extends AnyFunSuite {
       df.agg(min(col("x")), max(col("x"))).head)
   }
 
+  test("writeZOrdered rejects negative and overflow-range keys loudly") {
+    import spark.implicits._
+    // a negative key would sign-corrupt the interleave SILENTLY (files
+    // written, pruning lost) — the guard must throw instead
+    val neg = Seq((-1L, 2L), (3L, 4L)).toDF("x", "y")
+    val dir = Files.createTempDirectory("graft_zorder_guard_").toString
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrderLayout.writeZOrdered(neg, "x", "y", 12, 2, dir)
+    }
+    assert(e1.getMessage.contains("non-negative"))
+    // a 60-bit hash key at bits=16 wraps the scale-up multiply
+    val big = Seq(((1L << 60) - 1, 2L), (3L, 4L)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrderLayout.writeZOrdered(big, "x", "y", 16, 2, dir)
+    }
+    assert(e2.getMessage.contains("overflow"))
+  }
+
   test("writeZOrdered on an empty frame writes empty output, not an NPE") {
     import spark.implicits._
     // max() over zero rows is NULL — the maintenance pass must no-op
