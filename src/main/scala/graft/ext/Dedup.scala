@@ -70,6 +70,13 @@ object Dedup {
     * each group hashed to one bucket key. Docs sharing any band bucket
     * become candidate pairs. */
   def lshBandHashes(sig: Column, k: Int, bands: Int): Column = {
+    // Fail fast on a non-dividing banding: k/bands truncates, silently
+    // dropping the signature tail from banding — and bands > k makes
+    // rows = 0, so EVERY doc hashes an empty slice into one identical
+    // bucket per band, which the hot-bucket guard then drops wholesale:
+    // zero pairs returned, no error, all duplicates silently missed.
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val rows = k / bands
     array((0 until bands).map { b =>
       Hashing.md5Long(concat_ws(",",
@@ -452,10 +459,11 @@ object Dedup {
     // cache = false: this one-shot convenience returns a frame and
     // discards the index, so cached member frames would be unowned
     // pinned memory no caller could ever release (the leak class
-    // FrameCache exists to prevent). Cost: the corpus shingle frame is
-    // recomputed for the band build and the verify join (≤2× map-side
-    // hashing). Repeated probes of one corpus should build the index
-    // once via [[buildNearDupIndex]] and own its lifecycle.
+    // FrameCache exists to prevent). Cost: the corpus shingle lineage
+    // is re-evaluated 3× per probe — both sides of the hot-bucket
+    // guard join derive it, plus the verify join against `hashes`.
+    // Repeated probes of one corpus should build the index once via
+    // [[buildNearDupIndex]] and own its lifecycle.
     buildNearDupIndex(corpus, idCol, textCol, shingleN, k, bands,
       threshold, maxBucket, cache = false).probe(delta, idCol, textCol,
       shingleN)

@@ -16,8 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  // Microsecond arithmetic, not unix_timestamp: second-truncation is
+  // safe for POINTS (bucket boundaries are whole seconds, so
+  // floor(trunc(t)/w) == floor(t/w)) but NOT for the exclusive range
+  // END — a range ending at 10:00:00.500 covers part of the 10:00
+  // bucket, while trunc(end)-1 lands the last bucket at 09:59 and the
+  // equi-join silently misses every point in the uncovered bucket.
+  // events.ts carries microsecond precision, so the mismatch is real.
+  // The cast makes NTZ columns acceptable too: unix_micros requires
+  // TIMESTAMP (unlike the coercing unix_timestamp), and under the
+  // engine's fixed UTC session zone NTZ→TIMESTAMP is instant-identity.
+  private def micros(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
   private def bucketOf(ts: Column, width: Long): Column =
-    floor(unix_timestamp(ts) / width)
+    floor(micros(ts) / (width * 1000000L))
 
   /** Join `points` (timestamp `pointTs`) to `ranges` ([startCol,
     * endCol) exclusive-end) on containment. */
@@ -37,8 +49,12 @@ object RangeJoin {
     val rb = ranges.withColumn("__bucket",
       explode(when(col(endCol) > col(startCol), sequence(
         bucketOf(col(startCol), bucketSeconds),
-        // end is exclusive: the bucket of (end - 1s) is the last overlapped
-        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds)))))
+        // end is exclusive: the bucket of (end - 1µs) is the last
+        // overlapped — microsecond-exact, so a fractional-second end
+        // still emits its final bucket (and a same-bucket sub-second
+        // interval can no longer produce a descending sequence)
+        floor((micros(col(endCol)) - 1) /
+          (bucketSeconds * 1000000L))))))
     pb.join(rb, "__bucket")
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")

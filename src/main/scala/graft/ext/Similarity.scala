@@ -60,10 +60,18 @@ object Similarity {
     array((0 until dims).map(i => lit(planeComponent(p, i))): _*)
 
   /** Sign-of-projection LSH bucket id in [0, 2^planes). */
-  def lshBucket(emb: Column, planes: Int, dims: Int): Column =
+  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
+    // Int bucket ids: 1 << p wraps at p = 31 (sign bit) and aliases
+    // p = 32 back onto plane 0 — distinct sign patterns would silently
+    // collapse into shared buckets and recall would degrade with no
+    // error. 2^30 buckets is already far past useful selectivity; fail
+    // fast rather than widen the id type under every consumer.
+    require(planes >= 1 && planes <= 30,
+      s"lshBucket supports 1..30 planes (Int bucket ids), got $planes")
     (0 until planes).map { p =>
       when(dot(emb, planeLit(p, dims)) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
+  }
 
   /** Append a unit-normalized copy (`outCol`) of `embCol`. The norm is
     * materialized as its own column first: referencing a norm EXPRESSION

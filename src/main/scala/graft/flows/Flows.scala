@@ -66,7 +66,11 @@ object Flows {
       fl.moveProcessed(f, new Path(dirs.processed), nowMillis)
     }
     val remaining = fl.auditRemaining(new Path(dirs.input), "*.xml").size
-    FlowReport(files.size, rows, ok = ran || rows == 0, remaining)
+    // ok = the completeness audit passed. (The old `ran || rows == 0`
+    // was a tautology — `ran` false implies `rows` was never assigned —
+    // so the field could never report an incomplete drain. Publish
+    // failures already THROW; `ok` exists to surface the audit.)
+    FlowReport(files.size, rows, ok = remaining == 0, remaining)
   }
 
   /** Flow 2 — xml_fast (reference Dag2 + mypy/xmlonly.py → topic

@@ -52,7 +52,15 @@ object FilePipeline {
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val q = source(spark, cfg).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) sink(transform(batch), id) // O3 branch-if-empty
+        // O3 branch-if-empty. The probe is an extra job per batch, but
+        // a BOUNDED one — isEmpty is limit(1), which short-circuits
+        // after the first row, it does not rescan the batch — and it
+        // keeps no-data batches (watermark-advance triggers) from
+        // writing empty output files. Persisting the batch around
+        // probe+sink was considered and NOT taken: r5 measured cache()
+        // overhead on small map-only batches costing more than the
+        // re-evaluation it saves (BASELINE.md r5 row).
+        if (!batch.isEmpty) sink(transform(batch), id)
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)
@@ -68,6 +76,7 @@ object FilePipeline {
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     source(spark, cfg).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // same bounded limit(1) probe as drainAvailable — see there
         if (!batch.isEmpty) sink(transform(batch), id)
       }
       .option("checkpointLocation", cfg.checkpointDir)

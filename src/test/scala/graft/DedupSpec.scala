@@ -174,6 +174,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc(12L) === 10L && inc(31L) === 30L)
   }
 
+  test("lshBandHashes rejects a non-dividing banding loudly") {
+    // bands > k would hash an empty slice into ONE bucket for every
+    // doc, which the hot-bucket guard then drops — zero pairs, no
+    // error, every duplicate silently missed
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshBandHashes(col("sig"), k = 16, bands = 17)
+    }
+    assert(e.getMessage.contains("divide"))
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandHashes(col("sig"), k = 16, bands = 5)
+    }
+  }
+
   test("incremental CC preserves standing singleton clusters the delta never touches") {
     // A singleton (id == comp, no member edge) yields NO contraction
     // edge — before the restore step it silently dropped out of the

@@ -147,4 +147,22 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("tag")).collect().map(_.getString(0))
     assert(got.toSeq === Seq("ok"))
   }
+
+  test("pointInRange: fractional-second range end still emits its final bucket") {
+    // unix_timestamp truncates to seconds: with a range ending at
+    // 10:00:00.500, trunc(end)-1 computed the last bucket as 09:59 and
+    // the equi-join silently missed every point in the 10:00 bucket.
+    // Microsecond bucket arithmetic must match the exact predicate.
+    val points = Seq("2025-03-01 10:00:00.200").toDF("p")
+      .select(to_timestamp(col("p")).as("p_ts"))
+    val ranges = Seq(("frac", "2025-03-01 09:59:30", "2025-03-01 10:00:00.500"))
+      .toDF("tag", "s", "e")
+      .select(col("tag"), to_timestamp(col("s")).as("s_ts"),
+        to_timestamp(col("e")).as("e_ts"))
+    val got = graft.ext.RangeJoin
+      .pointInRange(points, "p_ts", ranges, "s_ts", "e_ts",
+        bucketSeconds = 60)
+      .select(col("tag")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("frac"))
+  }
 }

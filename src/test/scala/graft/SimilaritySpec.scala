@@ -66,6 +66,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("vec_dot"))
   }
 
+  test("SQL kernel arity errors are named, not raw IndexOutOfBounds") {
+    spark.sql("SELECT 1").collect() // force session init
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("vec_dot") &&
+      e.getMessage.contains("argument"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT md5long60()").collect()
+    }
+    assert(e2.getMessage.contains("md5long60") &&
+      e2.getMessage.contains("argument"))
+  }
+
   test("vec_dot null ELEMENT → NULL, like the composition; nullable-typed non-null arrays still compute") {
     // the SQL registration exposes the kernel to arbitrary arrays: a
     // null slot must null the result (aggregate(zip_with) semantics),
