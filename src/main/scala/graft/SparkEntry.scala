@@ -28,12 +28,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.queries("q01_agg_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Duplicate-name guard: `toMap` keeps the LAST entry, so a name
+    * collision across packs would silently shrink the query surface —
+    * the r6 silent-vanish class, caught rounds later by artifact_diff
+    * instead of at startup. Fail the very first access instead. */
+  private def assembled[V](what: String,
+      parts: Seq[Seq[(String, V)]]): Map[String, V] = {
+    val all = parts.flatten
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate $what across packs: ${dups.mkString(", ")} — " +
+        "toMap would silently drop an implementation")
+    all.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    assembled("query names", packs.map(_.queries.toSeq))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+  lazy val oracleSql: Map[String, String] =
+    assembled("oracle names", packs.map(_.oracles.toSeq))
 }

@@ -50,9 +50,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_failed.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    println(s"[verify] dumped $dumped queries, ${failed.size} failed" +
-      (if (failed.isEmpty) "" else failed.keys.mkString(" (", ", ", ")")))
+    // stop Spark BEFORE the summary line (Bench's convention): its
+    // shutdown log noise must land ahead of the one line a driver
+    // keeping a fixed-size stdout TAIL needs to retain — printed last,
+    // the summary survives; printed first, it scrolls out (the r6
+    // blindspot Bench already fixed for itself)
     GraftSession.close(spark) // release registry-cached standing frames
     spark.stop()
+    println(s"[verify] dumped $dumped queries, ${failed.size} failed" +
+      (if (failed.isEmpty) "" else failed.keys.mkString(" (", ", ", ")")))
   }
 }

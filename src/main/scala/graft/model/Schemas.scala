@@ -4,7 +4,8 @@ import org.apache.spark.sql.types._
 
 /** Record families and declared schemas of the reference engine
   * (SURVEY.md §1). Two shapes: narrow KPI EAV records (one row per
-  * KPI measurement) and wide 69-column cell-KPI records.
+  * KPI measurement) and wide cell-KPI records (the "69-col" CSV, which
+  * actually declares 67 fields — see [[Schemas.cellKpi69]]).
   */
 
 /** Narrow EAV KPI record — the union of the three flow variants:
@@ -50,11 +51,16 @@ object Schemas {
     s("endTime"), s("measObjLdn"), s("localDn"), s("kpiId"),
     s("kpiName"), s("kpiValue")))
 
-  /** Wide cell-KPI CSV schema, 69 columns with spaces / % / parens /
-    * slashes / dots in names (mypy/preprocessproduce.py:109-177).
-    * Declared verbatim: the engine's canonicalization layer (SURVEY §7.4
-    * risk 2) must round-trip these.
-    */
+  /** Wide cell-KPI CSV schema with spaces / % / parens / slashes /
+    * dots in names, declared verbatim from the reference
+    * (mypy/preprocessproduce.py:109-177). NOTE the count: the schema
+    * is colloquially "69-col" throughout the reference and this repo,
+    * but the reference's StructType declares exactly **67** fields —
+    * mirrored here field-for-field (verified by counting both). The
+    * name keeps the colloquial label; do NOT pad to 69, and do not
+    * validate external exports against the label instead of
+    * `cellKpi69.length`. The engine's canonicalization layer
+    * (SURVEY §7.4 risk 2) must round-trip these names. */
   val cellKpi69: StructType = {
     def i(n: String) = StructField(n, IntegerType, nullable = true)
     def d(n: String) = StructField(n, DoubleType, nullable = true)

@@ -26,13 +26,24 @@ object StateMetrics {
 
   /** Aggregate per-operator metrics across a query's retained progress
     * events (call after the drain; `recentProgress` keeps the last 100
-    * batches, far above any AvailableNow drain here). */
-  def collect(q: StreamingQuery): Seq[StoreMetrics] =
-    q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
-      .groupBy(_.operatorName)
-      .map { case (op, ps) =>
+    * batches, far above any AvailableNow drain here).
+    *
+    * Grouped by the operator's POSITION in `stateOperators`, not its
+    * name: operatorName is a type label ("stateStoreSave"), so a query
+    * with two stacked stateful operators of the same type would merge
+    * under a name-only key — rowsTotal from whichever instance came
+    * last, sums over both — numbers describing NO real operator. When
+    * one type occurs at several positions the label gets a `#idx`
+    * suffix so the entries stay tellable-apart. */
+  def collect(q: StreamingQuery): Seq[StoreMetrics] = {
+    val byInstance = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.zipWithIndex)
+      .groupBy { case (so, idx) => (idx, so.operatorName) }
+    val namesAtIdx = byInstance.keys.toSeq.groupBy(_._2)
+    byInstance.map { case ((idx, op), pairs) =>
+        val ps = pairs.map(_._1)
         StoreMetrics(
-          operator = op,
+          operator = if (namesAtIdx(op).size > 1) s"$op#$idx" else op,
           rowsTotal = ps.last.numRowsTotal,
           rowsUpdatedTotal = ps.map(_.numRowsUpdated).sum,
           rowsDroppedByWatermark = ps.map(_.numRowsDroppedByWatermark).sum,
@@ -41,4 +52,5 @@ object StateMetrics {
           shufflePartitions = ps.map(_.numShufflePartitions).max,
           storeInstances = ps.map(_.numStateStoreInstances).max)
       }.toSeq.sortBy(_.operator)
+  }
 }

@@ -76,7 +76,11 @@ def diff_bench(prev_path, cur_path):
     prev, cur = load(prev_path), load(cur_path)
     qp, full_p = bench_queries(prev)
     qc, full_c = bench_queries(cur)
-    common = sorted(set(qp) & set(qc))
+    # a query that THREW records a 0.0 placeholder (and its name in
+    # "failed") — comparing against 0.0 would report a since-FIXED query
+    # as "REGRESSED>2x 0.00 -> N.NN" and skew the common-set totals
+    common = sorted(k for k in set(qp) & set(qc)
+                    if qp[k] > 0.0 and qc[k] > 0.0)
     if not (full_p and full_c):
         print(f"(tail-scraped: {len(qp)}/{len(qc)} queries visible — "
               f"common set only)")
@@ -106,6 +110,17 @@ def check_bench(path):
               f"fail-fast, the total under-counts): {', '.join(sorted(failed))}")
         return 1
     total = (parsed or {}).get("value")
+    if total is None:
+        # parsed:null is the r3/r4 failure class this gate exists to
+        # catch (result line truncated out of the driver's stdout tail)
+        # — "ok, total=None" passing silently defeats the gate
+        print("BENCH total is ABSENT (parsed null / truncated tail) — "
+              "no bench number of record for this round")
+        return 1
+    rc = b.get("rc")
+    if rc not in (None, 0):
+        print(f"BENCH process exited rc={rc} — total {total} is suspect")
+        return 1
     print(f"== bench ok, total={total}")
     return 0
 

@@ -65,7 +65,16 @@ def compare(name, got_tbl, exp_tbl):
                        + "; ".join(skew))
     if len(gr) != len(er):
         return False, f"ROWCOUNT got={len(gr)} exp={len(er)}"
-    key = lambda r: tuple(repr(x) for x in r)
+    # Pair rows by a FLOAT-STABLE sort key: raw repr() would order the
+    # two sides differently when a float differs only by cross-engine
+    # noise (0.30000000000000004 vs 0.3), mispairing rows and turning a
+    # tolerant-equal result into a spurious VALUE-MISMATCH. 9
+    # significant digits matches the 1e-9 relative tolerance.
+    def key_cell(x):
+        if isinstance(x, float):
+            return "nan" if math.isnan(x) else f"{x:.9g}"
+        return repr(x)
+    key = lambda r: tuple(key_cell(x) for x in r)
     gr_s, er_s = sorted(gr, key=key), sorted(er, key=key)
     exact_all, tol_all, first_bad = True, True, None
     for i, (g, e) in enumerate(zip(gr_s, er_s)):
@@ -128,12 +137,25 @@ def main():
         if not qdir.is_dir():
             continue
         name = qdir.name
-        got_tbl = con.execute(
-            f"SELECT * FROM '{qdir}/*.parquet'").fetch_arrow_table()
+        try:
+            # one empty/partial dump dir (a query that failed mid-write,
+            # the r6 class) must count as ONE red row, not abort the
+            # whole report before the remaining queries are compared
+            got_tbl = con.execute(
+                f"SELECT * FROM '{qdir}/*.parquet'").fetch_arrow_table()
+        except Exception as e:
+            n_fail += 1
+            print(f"  {name}: DUMP-READ-ERROR {e}")
+            continue
         if name not in oracles:
             n_noracle += 1
+            ok_rows = got_tbl.num_rows > 0
+            if not ok_rows:
+                # the no-oracle contract is a rows-only check — an empty
+                # result IS the failure signal, so it must gate
+                n_fail += 1
             print(f"  {name}: NO-ORACLE rows={got_tbl.num_rows}"
-                  f" ({'ok' if got_tbl.num_rows > 0 else 'EMPTY!'})")
+                  f" ({'ok' if ok_rows else 'EMPTY — counted as FAIL'})")
             continue
         try:
             exp_tbl = con.execute(oracles[name]).fetch_arrow_table()
