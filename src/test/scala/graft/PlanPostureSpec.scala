@@ -76,6 +76,11 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q66_data_split")
     assert(!p.contains("Join"), "split assignment must not join")
     assert(!p.contains("Window"), "split assignment must not rank")
+    // the title's third claim, actually asserted (q67's convention):
+    // assignment is a map-side expression, so the only shuffle is the
+    // final aggregate's
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "split assignment should shuffle once (the aggregate)")
   }
 
   test("q67: quota sampling is one window over source — no join") {
@@ -91,8 +96,14 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q78: bloom prune filters the fact scan-side, join is merge not broadcast") {
     val p = plan("q78_bloom_semijoin")
     assert(p.contains("might_contain"), "bloom prune fell out of the plan")
-    assert(p.contains("SortMergeJoin LeftSemi".substring(0, 13)) ||
-      p.contains("SortMergeJoin"), "semi join lost its merge shape")
+    // the LeftSemi TYPE must survive, not just some SortMergeJoin — a
+    // regression to a full inner join materializes matched rows where
+    // semi early-outs (an earlier substring(0,13) made the two
+    // disjuncts identical, so the type was never actually checked).
+    // Regex: the operator prints as "SortMergeJoin [keys], [keys],
+    // LeftSemi", keys between operator and type.
+    assert("SortMergeJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      "semi join lost its merge-LeftSemi shape")
     // the might_contain must sit BELOW the exchange (prune before shuffle):
     // find the filter line and assert it references the lineitem scan side
     val mcIdx = p.indexOf("might_contain")

@@ -18,8 +18,14 @@ class ScaleProbeSpec extends AnyFunSuite {
   private def docs = Seq(
     // a near-dup family (one token edit in eight), an exact-dup pair,
     // and unrelated filler — the structures the probe counts
-    (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 40L),
-    (2L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s0", 40L),
+    // one token edit in twenty: jaccard 17/19 ≈ 0.89, high enough that
+    // the 4-band/16-hash LSH surfaces the pair deterministically (the
+    // previous 8-token texts had jaccard 0.71 but never collided in any
+    // band, so the near-dup branch of this spec was silently vacuous)
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon", "en", "s0", 40L),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau phi", "en", "s0", 40L),
     (3L, "the quick brown fox jumps over the lazy dog", "en", "s1", 40L),
     (4L, "the quick brown fox jumps over the lazy dog", "en", "s1", 40L),
     (5L, "completely unrelated text about something else entirely", "en", "s2", 50L)
@@ -58,5 +64,11 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(crossed.isEmpty, s"cross-replica pairs leaked: $crossed")
     assert(pairs.contains((3L, 4L)) && pairs.contains((10000003L, 10000004L)),
       s"within-replica structure lost: $pairs")
+    // and the NEAR-dup family (1,2) — not just the exact dups: the
+    // perturbation must preserve PARTIAL overlap too (a content-
+    // dependent suffix would destroy near-dup similarity in replicas
+    // while identical texts still perturb identically)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((10000001L, 10000002L)),
+      s"within-replica NEAR-dup family lost: $pairs")
   }
 }

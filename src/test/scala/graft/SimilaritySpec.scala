@@ -196,9 +196,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("planeComponent matches the SQL md5 definition") {
-    // md5("0,0") = d9d1...; engine-portable bit-0 must be stable
+    // the independent reference: the documented SQL-portable definition
+    // ('0x'||substr(md5(p||','||i),1,15))::BIGINT % 2, re-derived here
+    // via the hex parse so a drift in Md5Hash or the "p,i" seed format
+    // actually FAILS (a ±1/both-signs check alone passes for any
+    // non-constant sign function)
+    def sqlDef(p: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p,$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if (BigInt(hex, 16).testBit(0)) 1.0 else -1.0
+    }
+    val mismatches = for {
+      p <- 0 until 8; i <- 0 until 64
+      if Similarity.planeComponent(p, i) != sqlDef(p, i)
+    } yield (p, i)
+    assert(mismatches.isEmpty, s"diverged from SQL definition at $mismatches")
     val all = for (p <- 0 until 8; i <- 0 until 64) yield Similarity.planeComponent(p, i)
-    assert(all.forall(c => c == 1.0 || c == -1.0))
-    assert(all.toSet.size === 2) // both signs occur
+    assert(all.toSet === Set(1.0, -1.0)) // both signs occur
   }
 }

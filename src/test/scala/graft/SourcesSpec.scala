@@ -44,10 +44,17 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.collect().map(_.getAs[Long]("v")).sorted.toSeq === Seq(1L, 3L))
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
-    // only the click directory's files are read
-    assert(filtered.queryExecution.executedPlan.collectLeaves().toString
-      .contains("event_type=click") ||
-      new java.io.File(out, "event_type=click").exists())
+    // only the click directory's files are read — assert on the SCAN's
+    // selected partitions. (An earlier fallback disjunct checked the
+    // click DIRECTORY exists, which partitionBy always creates — a
+    // pruning regression could never fail it.)
+    val leaves = filtered.queryExecution.executedPlan.collectLeaves()
+    val scanned: Seq[String] = leaves.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("event_type=click")),
+      s"scan read non-click partitions: ${scanned.mkString(", ")}")
   }
 
   test("corrupt JSON records: PERMISSIVE captures, DROPMALFORMED skips") {

@@ -34,5 +34,17 @@ class WelfordVarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupByKey(_._1).mapValues(_._2)
       .agg(WelfordVariance.toColumn.name("wv")).collect()
     assert(one.head._2.isNaN)
+    // zero-count PARTIAL state: 2 rows spread over 8 partitions force
+    // merges with empty accumulators — n=0 state must merge as identity
+    // (var_samp({5,7}) = 2 exactly), not crash or skew the result
+    val sparse = Seq(1L -> 5.0, 1L -> 7.0).toDF("k", "v").repartition(8)
+      .as[(Long, Double)].groupByKey(_._1).mapValues(_._2)
+      .agg(WelfordVariance.toColumn.name("wv")).collect()
+    assert(sparse.head._2 === 2.0)
+    // fully empty input: no groups, no rows, no exception
+    val none = Seq.empty[(Long, Double)].toDS()
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(WelfordVariance.toColumn.name("wv")).collect()
+    assert(none.isEmpty)
   }
 }
