@@ -285,6 +285,13 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     restartRoundTrip("q105_stream_neardup_admission", "q105-neardup")
   }
 
+  test("q80 restart path: second session loads the persisted corpus index") {
+    // q80 gained the artifact seam when it moved onto the shared
+    // StandingNearDup helper (r8) — pin the batch-side round trip like
+    // the streaming gate's
+    restartRoundTrip("q80_incremental_dedup", "q80-neardup")
+  }
+
   test("q111 restart path: second session loads the persisted IVF index") {
     restartRoundTrip("q111_stream_ann_search", "ivf-index")
   }
