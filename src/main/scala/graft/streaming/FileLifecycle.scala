@@ -50,7 +50,18 @@ final class FileLifecycle(conf: Configuration) {
     val srcMd5 = contentMd5(file)
     val dup = Option(bfs.globStatus(new Path(backupDir, s"backup_${srcMd5}_*")))
       .getOrElse(Array.empty).nonEmpty
-    if (dup) false
+    // Legacy fallback: backups written before the name embedded the md5
+    // (`backup_<millis>_<name>`) are invisible to the glob above, so a
+    // long-lived backup dir would re-copy one duplicate per upgraded
+    // file. Only legacy-NAMED files (same original name, non-md5 first
+    // segment) are re-read — the cost decays to zero as md5-named
+    // backups take over.
+    def legacyDup: Boolean = Option(
+        bfs.globStatus(new Path(backupDir, s"backup_*_${file.getName}")))
+      .getOrElse(Array.empty)
+      .filterNot(_.getPath.getName.matches("backup_[0-9a-f]{32}_.*"))
+      .exists(st => contentMd5(st.getPath) == srcMd5)
+    if (dup || legacyDup) false
     else {
       var target =
         new Path(backupDir, s"backup_${srcMd5}_${nowMillis}_${file.getName}")
@@ -141,8 +152,17 @@ final class FileLifecycle(conf: Configuration) {
       } else {
         val dfs = fs(doneDir)
         dfs.mkdirs(doneDir)
-        dfs.rename(st.getPath,
-          new Path(doneDir, s"corrupt_${nowMillis}_$name"))
+        val quarantined = new Path(doneDir, s"corrupt_${nowMillis}_$name")
+        // rename reports failure as FALSE (e.g. cross-FS doneDir) — the
+        // same trap moveProcessed guards against. Quarantine must not
+        // throw (it exists so one bad file can't wedge the flow), but a
+        // permanently-failing quarantine has to be VISIBLE: otherwise
+        // the corrupt .gz silently stays in srcDir and is re-read,
+        // re-warned, and re-quarantine-attempted on every run forever.
+        if (!dfs.rename(st.getPath, quarantined))
+          log.error(s"quarantine rename ${st.getPath} -> $quarantined " +
+            "returned false — the corrupt archive remains in the source " +
+            "dir and will be re-attempted every run")
       }
     }
     extracted

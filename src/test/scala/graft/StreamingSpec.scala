@@ -117,6 +117,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(new Path(done, "processed_5_g.xml.gz")))
   }
 
+  test("backupDeduped: pre-upgrade backup_<millis>_ names still dedup by content") {
+    val fl = new FileLifecycle(new Configuration())
+    val root = tmpDir("flleg_")
+    val in = new Path(root, "in"); val bak = new Path(root, "bak")
+    val fs = in.getFileSystem(new Configuration())
+    fs.mkdirs(in); fs.mkdirs(bak)
+    Files.writeString(java.nio.file.Paths.get(root, "in", "a.xml"), "<x>L</x>")
+    Files.writeString(java.nio.file.Paths.get(root, "in", "b.xml"), "<x>M</x>")
+    // a PRE-UPGRADE backup of a.xml: old naming, no md5 segment — the
+    // md5 glob misses it, the content fallback must still dedup
+    Files.writeString(
+      java.nio.file.Paths.get(root, "bak", "backup_1000_a.xml"), "<x>L</x>")
+    assert(!fl.backupDeduped(new Path(in, "a.xml"), bak, 2L))
+    assert(fs.globStatus(new Path(bak, "backup_*_a.xml")).length === 1)
+    // DIFFERENT content under a legacy name must not suppress the copy
+    Files.writeString(
+      java.nio.file.Paths.get(root, "bak", "backup_1001_b.xml"), "<x>other</x>")
+    assert(fl.backupDeduped(new Path(in, "b.xml"), bak, 3L))
+  }
+
   test("gunzipAll quarantines a corrupt archive, extracts the rest, never wedges") {
     val fl = new FileLifecycle(new Configuration())
     val root = tmpDir("flbad_")

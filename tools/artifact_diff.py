@@ -72,15 +72,31 @@ def bench_queries(b):
                 re.finditer(r'"(q[^"]+)":([0-9.eE+-]+)', b.get("tail", ""))), False
 
 
+def bench_failed(b):
+    """Names of queries that THREW, from the artifact's 'failed' list
+    (parsed if the driver kept it, else scraped from the stdout tail)."""
+    parsed = b.get("parsed") if "parsed" in b else b
+    failed = (parsed or {}).get("failed") or []
+    if not failed and "tail" in b:
+        m = re.search(r'"failed":\[([^\]]*)\]', b["tail"])
+        if m:
+            failed = [s.strip('" ') for s in m.group(1).split(",")
+                      if s.strip()]
+    return set(failed)
+
+
 def diff_bench(prev_path, cur_path):
     prev, cur = load(prev_path), load(cur_path)
     qp, full_p = bench_queries(prev)
     qc, full_c = bench_queries(cur)
-    # a query that THREW records a 0.0 placeholder (and its name in
-    # "failed") — comparing against 0.0 would report a since-FIXED query
-    # as "REGRESSED>2x 0.00 -> N.NN" and skew the common-set totals
-    common = sorted(k for k in set(qp) & set(qc)
-                    if qp[k] > 0.0 and qc[k] > 0.0)
+    # a query that THREW records a fail-fast placeholder time and its
+    # name in "failed" — comparing a thrown run would report a
+    # since-FIXED query as "REGRESSED>2x" and skew the common-set
+    # totals. Exclude by the failed NAME lists, not by a 0.0 sentinel:
+    # a legitimately recorded 0.0-duration (sub-resolution query) must
+    # stay in the comparison.
+    failed = bench_failed(prev) | bench_failed(cur)
+    common = sorted(k for k in set(qp) & set(qc) if k not in failed)
     if not (full_p and full_c):
         print(f"(tail-scraped: {len(qp)}/{len(qc)} queries visible — "
               f"common set only)")
@@ -100,11 +116,7 @@ def check_bench(path):
     # driver artifact: {"parsed": {...}|null, "tail": "..."} — or the raw
     # bench JSON line itself when pointed at local output
     parsed = b.get("parsed") if "parsed" in b else b
-    failed = (parsed or {}).get("failed") or []
-    if not failed and "tail" in b:
-        m = re.search(r'"failed":\[([^\]]*)\]', b["tail"])
-        if m:
-            failed = [s.strip('" ') for s in m.group(1).split(",") if s.strip()]
+    failed = bench_failed(b)
     if failed:
         print(f"BENCH ran {len(failed)} queries to a THROW (their times are "
               f"fail-fast, the total under-counts): {', '.join(sorted(failed))}")

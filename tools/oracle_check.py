@@ -65,30 +65,80 @@ def compare(name, got_tbl, exp_tbl):
                        + "; ".join(skew))
     if len(gr) != len(er):
         return False, f"ROWCOUNT got={len(gr)} exp={len(er)}"
-    # Pair rows by a FLOAT-STABLE sort key: raw repr() would order the
-    # two sides differently when a float differs only by cross-engine
-    # noise (0.30000000000000004 vs 0.3), mispairing rows and turning a
-    # tolerant-equal result into a spurious VALUE-MISMATCH. 9
-    # significant digits matches the 1e-9 relative tolerance.
+    # Pair rows in two stages. Stage 1: bucket both sides by their
+    # NON-FLOAT cells (exact-typed — no cross-engine noise, so a bucket
+    # mismatch is a REAL value difference). Stage 2 inside each bucket:
+    # sort by a float-stable 9-significant-digit key and compare
+    # pairwise; if any pair misses tolerance, retry that bucket with
+    # greedy within-tolerance matching before declaring a mismatch —
+    # two floats equal within 1e-9 can still format to different
+    # 9-digit strings when they straddle a rounding boundary
+    # (...x4999 vs ...x5001), so the two sorted orders may disagree
+    # even though a valid pairing exists. Greedy (O(m^2)) runs only in
+    # the bucket where sorted pairing failed; the common case stays
+    # one sort.
+    is_float = [t in ("halffloat", "float", "double") for t in gt]
+
     def key_cell(x):
         if isinstance(x, float):
             return "nan" if math.isnan(x) else f"{x:.9g}"
         return repr(x)
     key = lambda r: tuple(key_cell(x) for x in r)
-    gr_s, er_s = sorted(gr, key=key), sorted(er, key=key)
-    exact_all, tol_all, first_bad = True, True, None
-    for i, (g, e) in enumerate(zip(gr_s, er_s)):
-        for j, (gv, ev) in enumerate(zip(g, e)):
+
+    def bucket_key(r):
+        return tuple(repr(x) for x, f in zip(r, is_float) if not f)
+    gb, eb = {}, {}
+    for r in gr:
+        gb.setdefault(bucket_key(r), []).append(r)
+    for r in er:
+        eb.setdefault(bucket_key(r), []).append(r)
+    for k in sorted(set(gb) | set(eb)):
+        ng, ne = len(gb.get(k, [])), len(eb.get(k, []))
+        if ng != ne:
+            return False, (f"VALUE-MISMATCH non-float cells {k} appear "
+                           f"{ng}x in got vs {ne}x in oracle")
+
+    def row_eq(g, e):
+        """(all-exact, all-within-tolerance) across one row pair."""
+        ex_all = tl_all = True
+        for gv, ev in zip(g, e):
             ex, tl = cell_eq(gv, ev)
-            exact_all &= ex
-            if not tl and first_bad is None:
-                first_bad = (i, gc[j], gv, ev)
-            tol_all &= tl
+            ex_all &= ex
+            tl_all &= tl
+        return ex_all, tl_all
+
+    exact_all, tol_all, first_bad = True, True, None
+    for k in sorted(gb):
+        gs, es = sorted(gb[k], key=key), sorted(eb[k], key=key)
+        pairs = list(zip(gs, es))
+        if not all(row_eq(g, e)[1] for g, e in pairs):
+            # greedy rescue: any within-tolerance partner will do
+            used = [False] * len(es)
+            pairs = []
+            for g in gs:
+                j = next((j for j, e in enumerate(es)
+                          if not used[j] and row_eq(g, e)[1]), None)
+                if j is None:
+                    # report g against its sorted-position partner
+                    i = gs.index(g)
+                    for c, (gv, ev) in zip(gc, zip(g, es[i])):
+                        if not cell_eq(gv, ev)[1]:
+                            first_bad = first_bad or (c, gv, ev)
+                    # the sorted partner may pass cell-by-cell yet be
+                    # claimed by another row — still a failed pairing
+                    first_bad = first_bad or (gc[0], g, "no unmatched "
+                                              "oracle row within tolerance")
+                    tol_all = False
+                else:
+                    used[j] = True
+                    pairs.append((g, es[j]))
+        for g, e in pairs:
+            exact_all &= row_eq(g, e)[0]
     if tol_all:
         lvl = "EXACT" if exact_all else "TOLERANT(float-noise!)"
         return True, f"PASS [{lvl}] rows={len(gr)}"
-    i, c, gv, ev = first_bad
-    return False, f"VALUE-MISMATCH row={i} col={c} got={gv!r} exp={ev!r}"
+    c, gv, ev = first_bad
+    return False, f"VALUE-MISMATCH col={c} got={gv!r} exp={ev!r}"
 
 
 def selftest():
@@ -114,11 +164,32 @@ def selftest():
             " (VALUES (CAST(1 AS BIGINT)), (2), (3)) t(x)")\
             .fetch_arrow_table()
         ok_good, msg_good = compare("selftest-cast", good, got)
+        # Boundary straddle: floats equal within 1e-9 can format to
+        # DIFFERENT 9-digit sort keys (...4999 vs ...5001) and flip the
+        # two sides' sort orders — the greedy rescue must pair them.
+        lo, hi = "0.1234567894999", "0.1234567895001"
+        got_b = con.execute(
+            f"SELECT CAST(v AS DOUBLE) v, CAST(w AS DOUBLE) w FROM"
+            f" (VALUES ({lo}, 2), ({hi}, 1)) t(v, w)").fetch_arrow_table()
+        exp_b = con.execute(
+            f"SELECT CAST(v AS DOUBLE) v, CAST(w AS DOUBLE) w FROM"
+            f" (VALUES ({hi}, 2), ({lo}, 1)) t(v, w)").fetch_arrow_table()
+        ok_b, msg_b = compare("selftest-boundary", got_b, exp_b)
+        # ...and a REAL float difference must still go red
+        bad_b = con.execute(
+            "SELECT CAST(v AS DOUBLE) v, CAST(w AS DOUBLE) w FROM"
+            " (VALUES (0.5, 2), (0.7, 1)) t(v, w)").fetch_arrow_table()
+        ok_bad2, msg_bad2 = compare("selftest-realdiff", got_b, bad_b)
     assert not ok_bad and "TYPE-SKEW" in msg_bad, \
         f"checker MISSED the uncast sum: {msg_bad}"
     assert ok_good, f"checker rejected the cast sum: {msg_good}"
+    assert ok_b and "TOLERANT" in msg_b, \
+        f"boundary-straddle rows mispaired: {msg_b}"
+    assert not ok_bad2 and "VALUE-MISMATCH" in msg_bad2, \
+        f"checker MISSED a real float difference: {msg_bad2}"
     print(f"selftest: uncast sum flagged ({msg_bad.split(';')[0].strip()});"
-          " cast sum passes. OK")
+          " cast sum passes; boundary straddle pairs greedily"
+          " ({}); real float diff still red. OK".format(msg_b))
 
 
 def main():
