@@ -18,8 +18,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot; the FrameCache entry is the in-session analogue. */
 object StandingNearDup {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   private val cache = graft.runtime.FrameCache.of[
       (SparkSession, String, String), Dedup.NearDupIndex](
     "standing-neardup-index", k => Some(k._1))(v => { v.unpersist(); () })
@@ -27,40 +25,18 @@ object StandingNearDup {
   /** The standing index named `name` over `corpus` (must expose
     * (doc_id, text)); `name` is both the memo key and the
     * [[ArtifactStore]] artifact name. `corpus` is only evaluated on a
-    * memo miss. */
+    * memo miss; the load/build/stale-rebuild resolution is
+    * [[ArtifactStore.standing]]. */
   def index(s: SparkSession, d: String, name: String)
       (corpus: => DataFrame): Dedup.NearDupIndex =
     cache.get((s, d, name)) {
       val c = corpus
-      val dirOpt = ArtifactStore.configuredDir(s, name, d)
       // fingerprint THIS session's corpus once (one cheap aggregate);
       // it gates the load AND stamps the save
       lazy val snap = ArtifactStore.snapshot(c, Seq("doc_id", "text"))
-      def build(origin: String): Dedup.NearDupIndex = {
-        val idx = Dedup.buildNearDupIndex(c, "doc_id", "text")
-        dirOpt.foreach { dir =>
-          ArtifactStore.saveNearDupIndex(idx, dir, snap)
-          ArtifactStore.lastOrigin(name) = origin
-        }
-        idx
-      }
-      dirOpt match {
-        case Some(dir) if ArtifactStore.exists(dir) =>
-          // restart path: load skips the corpus fold. A STALE artifact
-          // (rolled corpus snapshot) must not wedge the pipeline:
-          // rebuild and overwrite it.
-          try {
-            val r = ArtifactStore.loadNearDupIndex(s, dir, snap)
-            ArtifactStore.lastOrigin(name) = "loaded"
-            r
-          } catch {
-            case e @ (_: IllegalArgumentException
-                | _: java.io.FileNotFoundException) =>
-              log.warn(s"stale/incompatible near-dup index at $dir " +
-                s"(${e.getMessage}) — rebuilding for the current snapshot")
-              build("rebuilt")
-          }
-        case _ => build("built")
-      }
+      ArtifactStore.standing(s, name, d)(
+        Dedup.buildNearDupIndex(c, "doc_id", "text"))(
+        (idx, dir) => ArtifactStore.saveNearDupIndex(idx, dir, snap))(
+        dir => ArtifactStore.loadNearDupIndex(s, dir, snap))
     }
 }

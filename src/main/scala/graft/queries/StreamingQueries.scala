@@ -84,8 +84,6 @@ object StreamingQueries extends QueryPack {
     * (and unpersisting) per invocation, as these queries did before r5,
     * re-pays the corpus fold on every run. FrameCache's eviction hooks
     * are the drop-the-snapshot lifecycle. */
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   private val bloomCache = graft.runtime.FrameCache.of[
       (SparkSession, String), (DataFrame, Array[Byte])](
     "q101-corpus-bloom", k => Some(k._1))(v => { v._1.unpersist(); () })
@@ -96,48 +94,29 @@ object StreamingQueries extends QueryPack {
         .filter(col("doc_id") % 7 =!= 3)
         .select(md5(col("text").cast("binary")).as("ck"))
         .distinct()
-      val dirOpt = ArtifactStore.configuredDir(s, "q101-bloom", d)
       // fingerprint THIS session's corpus once (one cheap aggregate);
       // it gates the load AND stamps the save
       lazy val snap = ArtifactStore.snapshot(corpusKeys, Seq("ck"))
-      def build(origin: String): (DataFrame, Array[Byte]) = {
+      // Size the bloom from the CORPUS, not a constant: a fixed
+      // expectedItems saturates once the corpus outgrows it (at 10⁹+
+      // keys the prefilter silently degrades to a pass-everything
+      // no-op — correctness survives via the exact anti join, the
+      // perf gate doesn't). `snap.rows` is the exact distinct-key
+      // count; the floor only guards degenerate tiny corpora against
+      // a zero-width filter.
+      lazy val expected = math.max(snap.rows, 1024L)
+      // load/build/stale-rebuild resolution is ArtifactStore.standing;
+      // a load skips the corpus fold AND the bloom treeAggregate
+      ArtifactStore.standing(s, "q101-bloom", d)({
         val keys = corpusKeys.cache()
-        // Size the bloom from the CORPUS, not a constant: a fixed
-        // expectedItems saturates once the corpus outgrows it (at 10⁹+
-        // keys the prefilter silently degrades to a pass-everything
-        // no-op — correctness survives via the exact anti join, the
-        // perf gate doesn't). `snap.rows` is the exact distinct-key
-        // count and forcing it here materializes `keys`' cache, which
-        // the bloom's treeAggregate then reuses. The floor only guards
-        // degenerate tiny corpora against a zero-width filter.
-        val expected = math.max(snap.rows, 1024L)
+        // forcing `expected` here (after cache()) materializes `keys`'
+        // cache, which the bloom's treeAggregate then reuses
         val bloom = graft.ext.BloomPrune.buildBloom(
           keys, col("ck"), expectedItems = expected)
-        dirOpt.foreach { dir =>
-          ArtifactStore.saveBloom(bloom, dir, snap, expected,
-            keys = Some(keys))
-          ArtifactStore.lastOrigin("q101-bloom") = origin
-        }
         (keys, bloom)
-      }
-      dirOpt match {
-        case Some(dir) if ArtifactStore.exists(dir) =>
-          // restart path: load skips the corpus fold AND the bloom
-          // treeAggregate. A STALE artifact (rolled corpus snapshot)
-          // must not wedge the pipeline: rebuild and overwrite it.
-          try {
-            val r = ArtifactStore.loadBloomKeys(s, dir, snap)
-            ArtifactStore.lastOrigin("q101-bloom") = "loaded"
-            r
-          } catch {
-            case e @ (_: IllegalArgumentException
-                | _: java.io.FileNotFoundException) =>
-              log.warn(s"stale/incompatible bloom artifact at $dir " +
-                s"(${e.getMessage}) — rebuilding for the current snapshot")
-              build("rebuilt")
-          }
-        case _ => build("built")
-      }
+      })((v, dir) => ArtifactStore.saveBloom(v._2, dir, snap, expected,
+        keys = Some(v._1)))(
+        dir => ArtifactStore.loadBloomKeys(s, dir, snap))
     }
 
   private def standingNearDupIndex(s: SparkSession, d: String)

@@ -48,6 +48,8 @@ import graft.ext.Dedup
   */
 object ArtifactStore {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---- corpus snapshot fingerprint ----------------------------------
 
   /** Order-independent identity of a corpus snapshot: row count plus
@@ -177,6 +179,41 @@ object ArtifactStore {
   /** Last build-or-load decision per artifact kind — observability for
     * the restart-path specs (which assert "loaded", not rebuilt). */
   val lastOrigin = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---- shared standing-artifact resolution --------------------------
+
+  /** The load-else-build resolution every standing-artifact consumer
+    * shares (the q105/q80 near-dup index via StandingNearDup, q101's
+    * corpus bloom): when the session configures an artifact dir and one
+    * exists there, try `load`; a STALE or incompatible artifact (rolled
+    * corpus snapshot, missing member) must not wedge the pipeline —
+    * warn, rebuild, overwrite. Otherwise `build` (and `save` when a dir
+    * is configured). Records [[lastOrigin]] as loaded/rebuilt/built,
+    * the observability the restart-path specs assert. One
+    * implementation, so the stale-path and bookkeeping logic cannot
+    * drift between consumers (before r9 each seam hand-rolled its own
+    * twin of this block). */
+  def standing[T](s: SparkSession, name: String, sfDir: String)(
+      build: => T)(save: (T, String) => Unit)(load: String => T): T = {
+    val dirOpt = configuredDir(s, name, sfDir)
+    def buildAndSave(origin: String): T = {
+      val v = build
+      dirOpt.foreach { dir => save(v, dir); lastOrigin(name) = origin }
+      v
+    }
+    dirOpt match {
+      case Some(dir) if exists(dir) =>
+        try { val r = load(dir); lastOrigin(name) = "loaded"; r }
+        catch {
+          case e @ (_: IllegalArgumentException
+              | _: java.io.FileNotFoundException) =>
+            log.warn(s"stale/incompatible $name artifact at $dir " +
+              s"(${e.getMessage}) — rebuilding for the current snapshot")
+            buildAndSave("rebuilt")
+        }
+      case _ => buildAndSave("built")
+    }
+  }
 
   // ---- MinHash-LSH near-dup index (q105's standing corpus index) ----
 
