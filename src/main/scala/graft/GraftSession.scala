@@ -87,7 +87,13 @@ object GraftSession {
     RocksDbStateStoreConfigs.foldLeft(
       builder(master, clusterShufflePartitions(executors, coresPerExecutor))
         .config("spark.executor.instances", executors.toString)
-        .config("spark.executor.cores", coresPerExecutor.toString)) {
+        .config("spark.executor.cores", coresPerExecutor.toString)
+        // production per-source means: the tree-reduced VecMean
+        // aggregate (bounded per-group state) instead of the
+        // order-pinned collect_list fold the DuckDB oracle needs — an
+        // unbounded source domain must never materialize into one row
+        // on a real cluster (SimilarityQueries.sourceMeans)
+        .config("spark.graft.exactMeans", "false")) {
       case (b, (k, v)) => b.config(k, v)
     }
 

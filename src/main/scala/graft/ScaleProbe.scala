@@ -41,7 +41,7 @@ object ScaleProbe {
     "neardup_index_probe", "incremental_cc", "cc_chain_default_fallback",
     "cc_chain_star_rounds", "hot_family_lsh_pairs_guarded",
     "hot_family_exact_dedup", "ann_brute_top10", "ann_ivf_probe",
-    "ann_ivf_candidates")
+    "ann_ivf_candidates", "source_mean_tree", "source_mean_fold")
 
   def main(args: Array[String]): Unit = {
     val base = args(0)
@@ -325,6 +325,29 @@ object ScaleProbe {
       timed("hot_family_exact_dedup") {
         poisoned.groupBy(Dedup.contentKey(col("text")).as("ck"))
           .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      }
+    }
+
+    // 13. Per-source mean at the UNBOUNDED-group extreme: EVERY vector
+    //     of the replicated corpus forced into ONE source group — the
+    //     q87/q109 shape whose oracle-mode fold materializes the whole
+    //     group into a single row (the r8 verdict's last 100×-unsafe
+    //     plan). The production tree-reduced VecMean must stay ~flat
+    //     per row (bounded (count, sum[d]) state, map-side partials);
+    //     the pinned fold is measured alongside as the pathology
+    //     baseline — its one-row array grows with the corpus. rows =
+    //     the group size (the scale-sensitive number; the result is
+    //     always one group).
+    if (wanted("source_mean_tree", "source_mean_fold")) {
+      val one = Similarity.withNormalized(emb, "embedding")
+        .select(col("vec_id"), col("ne"), lit("s0").as("source"))
+      timed("source_mean_tree") {
+        graft.queries.SimilarityQueries.sourceMeans(one, exact = false)
+          .select(col("n_vecs")).head.getLong(0)
+      }
+      timed("source_mean_fold") {
+        graft.queries.SimilarityQueries.sourceMeans(one, exact = true)
+          .select(col("n_vecs")).head.getLong(0)
       }
     }
 

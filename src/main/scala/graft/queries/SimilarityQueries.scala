@@ -308,6 +308,53 @@ object SimilarityQueries extends QueryPack {
   private[graft] def preppedEmbeddings(s: SparkSession, d: String): DataFrame =
     prepped(s, d)
 
+  /** The (vec_id, ne, source) frame q87/q109 aggregate per source —
+    * normalized corpus vectors tagged with their document's source. */
+  private[graft] def sourcedEmbeddings(s: SparkSession, d: String): DataFrame =
+    prepped(s, d).join(Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+
+  /** Per-source (source, n_vecs, mean) centroid table — the frame q87
+    * reports and q109 scores against. Two modes (VERDICT r8 #1):
+    *
+    *  - `exact = true` (the local/Verify default): ORDER-PINNED
+    *    sequential fold — array_sort(collect_list(struct(vec_id, ne)))
+    *    then aggregate/zip_with, the trainKmeans update shape. DuckDB
+    *    reproduces the doubles bit-for-bit, which is what hash-exact
+    *    oracle verification needs — but it materializes each source
+    *    group into ONE row: fine at eval scale, an executor OOM at a
+    *    10⁹-vector source domain.
+    *  - `exact = false` (the PRODUCTION mode; clusterBuilder's
+    *    default, or spark.graft.exactMeans=false): tree-reduced
+    *    [[graft.ext.VecMean]] — (count, sum[d]) state per group,
+    *    map-side partials, bounded at any group size. Not bit-portable
+    *    across partitionings; equal to the fold within 1e-9
+    *    (`VecMeanSpec`), the engine's exact-vs-approx split (cf. q38
+    *    brute vs q39/q50). Plan shape pinned in `PlanPostureSpec`
+    *    (no collect_list; ObjectHashAggregate partials). */
+  private[graft] def sourceMeans(e: DataFrame, exact: Boolean): DataFrame =
+    if (exact) {
+      val zero = typedLit(Seq.fill(Dims)(0.0))
+      e.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vecs"),
+          array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"))
+        .withColumn("ssum", aggregate(
+          transform(col("vs"), v => v.getField("ne")), zero,
+          (acc, x) => zip_with(acc, x, _ + _)))
+        .withColumn("mean", transform(col("ssum"), _ / col("n_vecs")))
+        .select(col("source"), col("n_vecs"), col("mean"))
+    } else {
+      val vecMean = udaf(new graft.ext.VecMean(Dims))
+      e.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vecs"), vecMean(col("ne")).as("mean"))
+    }
+
+  /** Oracle-exact means unless the session opts into the production
+    * tree-reduced path (spark.graft.exactMeans=false — what
+    * [[graft.GraftSession.clusterBuilder]] presets). */
+  private def exactMeans(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.exactMeans", "true").toBoolean
+
   /** Top-k per query over a candidate frame, cross-engine total order
     * (rounded cosine desc, vec_id tie-break). */
   private def topK(cand: DataFrame, k: Int): DataFrame = {
@@ -632,36 +679,24 @@ object SimilarityQueries extends QueryPack {
     //      coherence monitor a corpus pipeline runs per source —
     //      centroid of the unit vectors, whose norm ∈ [0,1] measures
     //      domain coherence (≈1 when a source's docs all embed alike).
-    //      The element-wise mean is an ORDER-PINNED sequential fold
-    //      (sorted collect_list + aggregate/zip_with, the trainKmeans
-    //      update shape) so the oracle reproduces the doubles
-    //      bit-for-bit; a tree-reduced float mean would be faster at
-    //      extreme group sizes but is not bit-portable — that is the
-    //      documented price of hash-exact verification here. ----
-    "q87_domain_centroids" -> ((s, d) => {
-      val src = Tables.documents(s, d)
-        .select(col("doc_id").as("vec_id"), col("source"))
-      val zero = typedLit(Seq.fill(Dims)(0.0))
-      prepped(s, d).join(src, Seq("vec_id"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_vecs"),
-          array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"))
-        .withColumn("ssum", aggregate(
-          transform(col("vs"), v => v.getField("ne")), zero,
-          (acc, x) => zip_with(acc, x, _ + _)))
-        .withColumn("mean", transform(col("ssum"), _ / col("n_vecs")))
+    //      The mean comes from [[sourceMeans]]: the order-pinned fold
+    //      in oracle mode (bit-portable to DuckDB), the tree-reduced
+    //      VecMean aggregate in production mode (bounded per-group
+    //      state at any source size). ----
+    "q87_domain_centroids" -> ((s, d) =>
+      sourceMeans(sourcedEmbeddings(s, d), exactMeans(s))
         .select(col("source"), col("n_vecs"),
           round(sqrt(Similarity.dot(col("mean"), col("mean"))), 4)
             .as("coherence"),
           round(element_at(col("mean"), 1), 6).as("c0"))
-        .orderBy(col("source"))
-    }),
+        .orderBy(col("source"))),
 
     // ---- Embedding outlier detection: the data-cleaning tail of
     //      centroid assignment (SemDeDup prunes the TOO-CLOSE tail;
     //      this flags the TOO-FAR one — mislabeled/corrupted items a
-    //      curation pass quarantines). Per source: q87's exact sorted-
-    //      fold mean, then every vector scores cos(ne, mean/|mean|)
+    //      curation pass quarantines). Per source: q87's [[sourceMeans]]
+    //      table (pinned fold in oracle mode, tree-reduced VecMean in
+    //      production), then every vector scores cos(ne, mean/|mean|)
     //      map-side — the 20×d mean table BROADCASTS, the dot is the
     //      codegen'd VecDot kernel, and no corpus shuffle happens
     //      beyond the per-source rollup. Outlier bar cos < 0 (negative
@@ -669,17 +704,8 @@ object SimilarityQueries extends QueryPack {
     //      measured); min/max are order-independent aggregates, so
     //      every output is engine-exact. ----
     "q109_embedding_outliers" -> ((s, d) => {
-      val src = Tables.documents(s, d)
-        .select(col("doc_id").as("vec_id"), col("source"))
-      val e = prepped(s, d).join(src, Seq("vec_id"))
-      val zero = typedLit(Seq.fill(Dims)(0.0))
-      val means = e.groupBy(col("source"))
-        .agg(count(lit(1)).as("nv"),
-          array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"))
-        .withColumn("ssum", aggregate(
-          transform(col("vs"), v => v.getField("ne")), zero,
-          (acc, x) => zip_with(acc, x, _ + _)))
-        .withColumn("mean", transform(col("ssum"), _ / col("nv")))
+      val e = sourcedEmbeddings(s, d)
+      val means = sourceMeans(e, exactMeans(s))
         .select(col("source"), col("mean"))
       e.join(broadcast(means), Seq("source"))
         .withColumn("cos", Similarity.dot(col("ne"), col("mean")) /

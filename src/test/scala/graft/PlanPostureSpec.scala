@@ -211,6 +211,22 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the 20-row mean table should broadcast into the scoring join")
   }
 
+  test("q87/q109 production mean is tree-reduced: no per-group collect_list") {
+    val e = graft.queries.SimilarityQueries.sourcedEmbeddings(spark, sf)
+    val prod = graft.queries.SimilarityQueries.sourceMeans(e, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!prod.contains("collect_list"),
+      "production mean regressed to materializing whole groups into rows")
+    assert(prod.contains("ObjectHashAggregate"),
+      "the typed VecMean aggregate should run partial+final " +
+        "ObjectHashAggregate (map-side combine)")
+    // oracle mode keeps the order-pinned fold the DuckDB hash needs
+    val oracle = graft.queries.SimilarityQueries.sourceMeans(e, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(oracle.contains("collect_list"),
+      "oracle mode must stay the bit-portable pinned fold")
+  }
+
   test("q110: the quality gate is aggregates + one anti join — no windows, no sort of the facts") {
     val p = plan("q110_quality_checks")
     assert(!p.contains("Window"), "a rule regressed into a window pass")
