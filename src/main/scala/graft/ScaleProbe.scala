@@ -328,29 +328,6 @@ object ScaleProbe {
       }
     }
 
-    // 13. Per-source mean at the UNBOUNDED-group extreme: EVERY vector
-    //     of the replicated corpus forced into ONE source group — the
-    //     q87/q109 shape whose oracle-mode fold materializes the whole
-    //     group into a single row (the r8 verdict's last 100×-unsafe
-    //     plan). The production tree-reduced VecMean must stay ~flat
-    //     per row (bounded (count, sum[d]) state, map-side partials);
-    //     the pinned fold is measured alongside as the pathology
-    //     baseline — its one-row array grows with the corpus. rows =
-    //     the group size (the scale-sensitive number; the result is
-    //     always one group).
-    if (wanted("source_mean_tree", "source_mean_fold")) {
-      val one = Similarity.withNormalized(emb, "embedding")
-        .select(col("vec_id"), col("ne"), lit("s0").as("source"))
-      timed("source_mean_tree") {
-        graft.queries.SimilarityQueries.sourceMeans(one, exact = false)
-          .select(col("n_vecs")).head.getLong(0)
-      }
-      timed("source_mean_fold") {
-        graft.queries.SimilarityQueries.sourceMeans(one, exact = true)
-          .select(col("n_vecs")).head.getLong(0)
-      }
-    }
-
     // 7. Brute-force ANN baseline: fixed ~100-query eval set against the
     //    full corpus — linear in corpus size by construction.
     //    (lazy: a filtered run selecting no ANN op must not pay the
@@ -425,6 +402,31 @@ object ScaleProbe {
             .select(col("q_id"), col("vec_id")).distinct().count()
         }
       } finally cells.unpersist()
+    }
+
+    // 13+14. Per-source mean at the UNBOUNDED-group extreme: EVERY
+    //     vector of the replicated corpus forced into ONE source group
+    //     — the q87/q109 shape whose oracle-mode fold materializes the
+    //     whole group into a single row (the r8 verdict's last
+    //     100×-unsafe plan). The production tree-reduced VecMean must
+    //     stay ~flat per row (bounded (count, sum[d]) state, map-side
+    //     partials); the pinned fold is measured alongside as the
+    //     pathology baseline — its one-row array grows with the
+    //     corpus, so this deliberately-OOM-able op runs LAST in the
+    //     factor: a fold blowup at an extreme factor must not abort
+    //     the other ops' measurements. rows = the group size (the
+    //     scale-sensitive number; the result is always one group).
+    if (wanted("source_mean_tree", "source_mean_fold")) {
+      val one = Similarity.withNormalized(emb, "embedding")
+        .select(col("vec_id"), col("ne"), lit("s0").as("source"))
+      timed("source_mean_tree") {
+        graft.queries.SimilarityQueries.sourceMeans(one, exact = false)
+          .select(col("n_vecs")).head.getLong(0)
+      }
+      timed("source_mean_fold") {
+        graft.queries.SimilarityQueries.sourceMeans(one, exact = true)
+          .select(col("n_vecs")).head.getLong(0)
+      }
     }
   }
 }

@@ -332,10 +332,15 @@ object SimilarityQueries extends QueryPack {
     *    (`VecMeanSpec`), the engine's exact-vs-approx split (cf. q38
     *    brute vs q39/q50). Plan shape pinned in `PlanPostureSpec`
     *    (no collect_list; ObjectHashAggregate partials). */
-  private[graft] def sourceMeans(e: DataFrame, exact: Boolean): DataFrame =
+  private[graft] def sourceMeans(e: DataFrame, exact: Boolean): DataFrame = {
+    // Null vectors are excluded UP FRONT so the two modes cannot
+    // diverge on them: the fold's zip_with would null the whole
+    // group's sum off one null element while VecMean skips it — and
+    // n_vecs must match the mean's denominator in both modes.
+    val nn = e.filter(col("ne").isNotNull)
     if (exact) {
       val zero = typedLit(Seq.fill(Dims)(0.0))
-      e.groupBy(col("source"))
+      nn.groupBy(col("source"))
         .agg(count(lit(1)).as("n_vecs"),
           array_sort(collect_list(struct(col("vec_id"), col("ne")))).as("vs"))
         .withColumn("ssum", aggregate(
@@ -345,9 +350,10 @@ object SimilarityQueries extends QueryPack {
         .select(col("source"), col("n_vecs"), col("mean"))
     } else {
       val vecMean = udaf(new graft.ext.VecMean(Dims))
-      e.groupBy(col("source"))
+      nn.groupBy(col("source"))
         .agg(count(lit(1)).as("n_vecs"), vecMean(col("ne")).as("mean"))
     }
+  }
 
   /** Oracle-exact means unless the session opts into the production
     * tree-reduced path (spark.graft.exactMeans=false — what

@@ -56,10 +56,16 @@ final class FileLifecycle(conf: Configuration) {
     // file. Only legacy-NAMED files (same original name, non-md5 first
     // segment) are re-read — the cost decays to zero as md5-named
     // backups take over.
-    def legacyDup: Boolean = Option(
-        bfs.globStatus(new Path(backupDir, s"backup_*_${file.getName}")))
+    // listStatus + string filter, NOT a glob: the source filename may
+    // contain glob metacharacters ([1], {a}) that would corrupt or
+    // crash a glob pattern built from it
+    def legacyDup: Boolean = Option(bfs.listStatus(backupDir))
       .getOrElse(Array.empty)
-      .filterNot(_.getPath.getName.matches("backup_[0-9a-f]{32}_.*"))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("backup_") && n.endsWith("_" + file.getName) &&
+          !n.matches("backup_[0-9a-f]{32}_.*")
+      }
       .exists(st => contentMd5(st.getPath) == srcMd5)
     if (dup || legacyDup) false
     else {

@@ -60,6 +60,12 @@ class VecMeanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = Seq(("a", Seq(1.0, 2.0))).toDF("source", "ne")
       .groupBy($"source").agg(vm($"ne").as("m"))
     val ex = intercept[Exception] { bad.collect() }
-    assert(ex.getMessage != null)
+    // the require's message must be in the cause chain — any other
+    // exception (e.g. a later index error) is NOT failing loudly
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("expects 3"),
+      s"expected the dimension require to fire, got: $msgs")
   }
 }

@@ -38,7 +38,11 @@ def canon_arrow(tbl):
 
 def cell_eq(a, b):
     if a is None or b is None:
-        return a is None and b is None, True
+        # NULL vs value is a REAL difference at any tolerance — the
+        # driver hashes it red, so waving it through as "tolerant"
+        # (the old behavior) hid exactly the null-centroid class
+        eq = a is None and b is None
+        return eq, eq
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -112,26 +116,38 @@ def compare(name, got_tbl, exp_tbl):
         gs, es = sorted(gb[k], key=key), sorted(eb[k], key=key)
         pairs = list(zip(gs, es))
         if not all(row_eq(g, e)[1] for g, e in pairs):
-            # greedy rescue: any within-tolerance partner will do
-            used = [False] * len(es)
-            pairs = []
-            for g in gs:
-                j = next((j for j, e in enumerate(es)
-                          if not used[j] and row_eq(g, e)[1]), None)
-                if j is None:
-                    # report g against its sorted-position partner
-                    i = gs.index(g)
-                    for c, (gv, ev) in zip(gc, zip(g, es[i])):
-                        if not cell_eq(gv, ev)[1]:
-                            first_bad = first_bad or (c, gv, ev)
-                    # the sorted partner may pass cell-by-cell yet be
-                    # claimed by another row — still a failed pairing
-                    first_bad = first_bad or (gc[0], g, "no unmatched "
-                                              "oracle row within tolerance")
-                    tol_all = False
-                else:
-                    used[j] = True
-                    pairs.append((g, es[j]))
+            # Maximum bipartite matching (augmenting paths): greedy
+            # first-fit can strand a row whose only tolerant partner
+            # was claimed by a row that had alternatives — a falsely
+            # red gate on exactly the float-noise class this pairing
+            # exists to absorb. Buckets are small by construction
+            # (non-float cells split the rows), so O(V·E) is fine.
+            ok = [[j for j, e in enumerate(es) if row_eq(g, e)[1]]
+                  for g in gs]
+            match_of_e = [None] * len(es)
+
+            def augment(i, seen):
+                for j in ok[i]:
+                    if j not in seen:
+                        seen.add(j)
+                        if match_of_e[j] is None or \
+                                augment(match_of_e[j], seen):
+                            match_of_e[j] = i
+                            return True
+                return False
+            unmatched = [i for i in range(len(gs))
+                         if not augment(i, set())]
+            if unmatched:
+                tol_all = False
+                i = unmatched[0]
+                # report against the sorted-position partner
+                for c, (gv, ev) in zip(gc, zip(gs[i], es[i])):
+                    if not cell_eq(gv, ev)[1]:
+                        first_bad = first_bad or (c, gv, ev)
+                first_bad = first_bad or (gc[0], gs[i], "no unmatched "
+                                          "oracle row within tolerance")
+            pairs = [(gs[match_of_e[j]], es[j]) for j in range(len(es))
+                     if match_of_e[j] is not None]
         for g, e in pairs:
             exact_all &= row_eq(g, e)[0]
     if tol_all:
@@ -180,6 +196,27 @@ def selftest():
             "SELECT CAST(v AS DOUBLE) v, CAST(w AS DOUBLE) w FROM"
             " (VALUES (0.5, 2), (0.7, 1)) t(v, w)").fetch_arrow_table()
         ok_bad2, msg_bad2 = compare("selftest-realdiff", got_b, bad_b)
+        # Stranded partner: g1 tolerates BOTH oracle rows, g2 only e1.
+        # Greedy first-fit hands g1 e1 and strands g2 (falsely red);
+        # the augmenting matching must recover g1->e2, g2->e1.
+        g1a, g1b = 1.0, 1.0 + 9e-10
+        e1v, e2a, e2b = 1.0 + 4.5e-10, 1.0 + 5.4e-10, 1.0 + 1.62e-9
+
+        def tbl(rows):
+            vals = ", ".join(
+                f"(CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE))"
+                for a, b in rows)
+            return con.execute(
+                f"SELECT * FROM (VALUES {vals}) t(v, w)")\
+                .fetch_arrow_table()
+        ok_m, msg_m = compare("selftest-matching",
+                              tbl([(g1a, g1b), (g1b, g1a)]),
+                              tbl([(e1v, e1v), (e2a, e2b)]))
+        # NULL vs value in a float column is a real difference
+        ok_n, msg_n = compare(
+            "selftest-null",
+            con.execute("SELECT CAST(NULL AS DOUBLE) v").fetch_arrow_table(),
+            con.execute("SELECT CAST(1.0 AS DOUBLE) v").fetch_arrow_table())
     assert not ok_bad and "TYPE-SKEW" in msg_bad, \
         f"checker MISSED the uncast sum: {msg_bad}"
     assert ok_good, f"checker rejected the cast sum: {msg_good}"
@@ -187,9 +224,14 @@ def selftest():
         f"boundary-straddle rows mispaired: {msg_b}"
     assert not ok_bad2 and "VALUE-MISMATCH" in msg_bad2, \
         f"checker MISSED a real float difference: {msg_bad2}"
+    assert ok_m, \
+        f"augmenting matching failed to pair strandable rows: {msg_m}"
+    assert not ok_n and "VALUE-MISMATCH" in msg_n, \
+        f"checker waved through NULL vs value in a float column: {msg_n}"
     print(f"selftest: uncast sum flagged ({msg_bad.split(';')[0].strip()});"
-          " cast sum passes; boundary straddle pairs greedily"
-          " ({}); real float diff still red. OK".format(msg_b))
+          " cast sum passes; boundary straddle pairs ({});"
+          " stranded partner recovered; NULL-vs-value red;"
+          " real float diff red. OK".format(msg_b))
 
 
 def main():
