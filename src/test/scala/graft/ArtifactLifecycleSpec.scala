@@ -295,4 +295,49 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q111 restart path: second session loads the persisted IVF index") {
     restartRoundTrip("q111_stream_ann_search", "ivf-index")
   }
+
+  test("ArtifactStore.standing: built / saved+loaded / stale-rebuilt, directly") {
+    // Unit-level pin of the shared resolution seam itself (r9) — the
+    // consumer specs above exercise it end-to-end, but this pins the
+    // origin bookkeeping and build counts independent of any consumer.
+    val root = Files.createTempDirectory("graft_standing_").toString
+    var builds = 0
+    def resolve(s: org.apache.spark.sql.SparkSession,
+        snap: CorpusSnapshot): Array[Byte] =
+      ArtifactStore.standing(s, "unit-standing", sf)(
+        { builds += 1; Array[Byte](1, 2, 3) })(
+        (v, dir) => ArtifactStore.saveBloom(v, dir, snap))(
+        dir => ArtifactStore.loadBloom(dir, snap))
+    val snapA = CorpusSnapshot(3, 42L)
+
+    // no artifactDir on the session → build every time, never persist
+    // (lastOrigin stays unset: it's persistence-seam observability)
+    val s0 = spark.newSession()
+    assert(resolve(s0, snapA).toSeq == Seq[Byte](1, 2, 3))
+    assert(builds == 1 &&
+      !ArtifactStore.lastOrigin.contains("unit-standing"))
+    resolve(s0, snapA)
+    assert(builds == 2, "dir-less resolution must not cache or persist")
+
+    // dir configured: first resolve builds+saves, second LOADS
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    resolve(s1, snapA)
+    assert(builds == 3 &&
+      ArtifactStore.lastOrigin("unit-standing") == "built")
+    assert(resolve(s1, snapA).toSeq == Seq[Byte](1, 2, 3))
+    assert(builds == 3 &&
+      ArtifactStore.lastOrigin("unit-standing") == "loaded")
+
+    // rolled corpus snapshot → stale load fails inside → REBUILT and
+    // overwritten; the overwritten artifact then loads under the new
+    // snapshot
+    val snapB = CorpusSnapshot(4, 43L)
+    resolve(s1, snapB)
+    assert(builds == 4 &&
+      ArtifactStore.lastOrigin("unit-standing") == "rebuilt")
+    resolve(s1, snapB)
+    assert(builds == 4 &&
+      ArtifactStore.lastOrigin("unit-standing") == "loaded")
+  }
 }
