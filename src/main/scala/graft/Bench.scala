@@ -1,9 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Host-contention calibration (VERDICT r9 #4): a FIXED, deterministic,
+  // single-threaded CPU probe — MD5 over a constant 4 KiB buffer,
+  // 100k rounds (~0.4 GB hashed, ~0.5 s unloaded). The work is
+  // identical every round, so its wall time moves ONLY with host load;
+  // the judge normalizes round totals (total / calib) instead of
+  // re-running the band protocol when identical code drifts (r9's
+  // 69.7→81.4 s was 100% host band, diagnosed by hand).
+  private def calibrate(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
+    var sink = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 100000) { sink += md.digest(buf)(0); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sink == Long.MinValue) println(sink) // defeat dead-code elim
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // bracket the suite with the calibration probe: contention during
+    // the ~80 s run shows up as the start/end pair disagreeing
+    val calibStart = calibrate()
     val spark = GraftSession.local(cpus)
     // Untimed warmup: absorbs one-time JVM/codegen/session costs so the
     // per-query numbers measure the queries, not first-run warmup.
@@ -56,6 +78,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val calibEnd = calibrate()
+    val calibField =
+      f""","calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f"""
     // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
     // the result lines in the merged stream. The driver keeps only a
     // fixed-size TAIL of stdout, so the FRONT of the stream is what gets
@@ -90,7 +115,7 @@ object Bench {
       val sec = if (failedSec > 0) f""","failed_sec":$failedSec%.3f""" else ""
       list + sec
     }
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField}""")
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField$calibField}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField$calibField}""")
   }
 }

@@ -229,46 +229,28 @@ object SimilarityQueries extends QueryPack {
   private def corpusCells(s: SparkSession, d: String): DataFrame =
     cellsCache.get((s, d))({
       import graft.sinks.ArtifactStore
-      val dirOpt = ArtifactStore.configuredDir(s, "ivf-index", d)
-      // trainCentroids, NOT centroids: the public accessor consults the
-      // artifact dir and would recurse back into this build
-      def build(origin: String): DataFrame = {
+      ArtifactStore.standing(s, "ivf-index", d)({
+        // trainCentroids, NOT centroids: the public accessor consults
+        // the artifact dir and would recurse back into this build
         val cents = trainCentroids(s, d)
         val cells = prepped(s, d)
           .withColumn("dots", Similarity.centroidDots(col("ne"), cents))
           .withColumn("cells", Similarity.topCells(col("dots"), IvfAssignN))
           .select(col("vec_id"), col("ne"), explode(col("cells")).as("cell"))
           .cache()
-        dirOpt.foreach { dir =>
-          ArtifactStore.saveIvfIndex(cells, cents, dir, ivfSnapshot(s, d))
-          ArtifactStore.lastOrigin("ivf-index") = origin
-        }
-        cells
-      }
-      dirOpt match {
-        case Some(dir) if ArtifactStore.exists(dir) =>
-          // restart path: load cells AND centroids together (the probe
-          // must assign against the exact build-time matrix), seeding
-          // the centroid memo so every IVF consumer shares them. A
-          // stale artifact (rolled corpus) rebuilds instead of wedging.
-          try {
-            val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir,
-              ivfSnapshot(s, d))
-            centCache.put(d, cents)
-            ArtifactStore.lastOrigin("ivf-index") = "loaded"
-            cells
-          } catch {
-            case e @ (_: IllegalArgumentException
-                | _: java.io.FileNotFoundException) =>
-              ivfLog.warn(s"stale/incompatible IVF artifact at $dir " +
-                s"(${e.getMessage}) — rebuilding for the current snapshot")
-              build("rebuilt")
-          }
-        case _ => build("built")
-      }
+        (cells, cents)
+      })({ case ((cells, cents), dir) =>
+        ArtifactStore.saveIvfIndex(cells, cents, dir, ivfSnapshot(s, d))
+      })({ dir =>
+        // restart path: load cells AND centroids together (the probe
+        // must assign against the exact build-time matrix), seeding
+        // the centroid memo so every IVF consumer shares them
+        val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir,
+          ivfSnapshot(s, d))
+        centCache.put(d, cents)
+        (cells, cents)
+      })._1
     })
-
-  private lazy val ivfLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Fingerprint of the raw embedding corpus the IVF artifacts index. */
   private def ivfSnapshot(s: SparkSession, d: String)
@@ -309,10 +291,16 @@ object SimilarityQueries extends QueryPack {
     prepped(s, d)
 
   /** The (vec_id, ne, source) frame q87/q109 aggregate per source —
-    * normalized corpus vectors tagged with their document's source. */
+    * normalized corpus vectors tagged with their document's source.
+    * Null vectors are excluded HERE, at the shared frame, so the whole
+    * q87/q109 surface (both mean modes, q109's outer n_vecs/outlier
+    * counts, and the DuckDB oracle CTEs, which carry the matching
+    * `ne IS NOT NULL`) agrees on the denominator — not just the two
+    * engine modes between themselves. */
   private[graft] def sourcedEmbeddings(s: SparkSession, d: String): DataFrame =
-    prepped(s, d).join(Tables.documents(s, d)
-      .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+    prepped(s, d).filter(col("ne").isNotNull)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
 
   /** Per-source (source, n_vecs, mean) centroid table — the frame q87
     * reports and q109 scores against. Two modes (VERDICT r8 #1):
@@ -1152,7 +1140,8 @@ object SimilarityQueries extends QueryPack {
     val q87 =
       s"""WITH ${preppedCte(0)},
          |s0 AS (SELECT e.vec_id, e.ne, d.source
-         |  FROM e JOIN documents d ON e.vec_id = d.doc_id),
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE e.ne IS NOT NULL),
          |g AS (SELECT source, count(*) AS n_vecs,
          |    list(ne ORDER BY vec_id) AS vs FROM s0 GROUP BY source),
          |f AS (SELECT source, n_vecs, list_reduce(vs,
@@ -1167,7 +1156,8 @@ object SimilarityQueries extends QueryPack {
     val q109 =
       s"""WITH ${preppedCte(0)},
          |s0 AS (SELECT e.vec_id, e.ne, d.source
-         |  FROM e JOIN documents d ON e.vec_id = d.doc_id),
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE e.ne IS NOT NULL),
          |g AS (SELECT source, count(*) AS nv,
          |    list(ne ORDER BY vec_id) AS vs FROM s0 GROUP BY source),
          |f AS (SELECT source, nv, list_reduce(vs,

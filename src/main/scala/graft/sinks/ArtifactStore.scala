@@ -135,6 +135,15 @@ object ArtifactStore {
     * wrong corpus both fail fast, before any data is read. */
   private val KindNames = Map("neardup" -> "a near-dup index",
     "bloom" -> "a bloom artifact", "ivf" -> "an IVF index")
+  // The parameter keys each kind's load reads (m("k") etc.). A sidecar
+  // missing one is a DAMAGED artifact, and damage must surface as
+  // IllegalArgumentException — the type the standing seam's rebuild
+  // fallback catches — not wedge every restart on the
+  // NoSuchElementException a bare m("k") would throw.
+  private val KindKeys = Map(
+    "neardup" -> Seq("k", "bands", "threshold"),
+    "bloom" -> Seq("expectedItems", "hasKeys"),
+    "ivf" -> Seq("k", "dims"))
   private def checkMeta(dir: String, kind: String,
       expect: CorpusSnapshot): Map[String, String] = {
     val m = readMeta(dir)
@@ -148,6 +157,10 @@ object ArtifactStore {
     require(saved.contains(expect),
       s"$dir was built from a different corpus snapshot: saved=${saved.get}, " +
         s"caller's corpus=$expect — rebuild the artifact for this snapshot")
+    for (key <- KindKeys.getOrElse(kind, Nil))
+      require(m.contains(key),
+        s"$dir sidecar is missing build parameter '$key' — damaged " +
+          "artifact; rebuild it for this snapshot")
     m
   }
 
@@ -205,8 +218,18 @@ object ArtifactStore {
       case Some(dir) if exists(dir) =>
         try { val r = load(dir); lastOrigin(name) = "loaded"; r }
         catch {
-          case e @ (_: IllegalArgumentException
-              | _: java.io.FileNotFoundException) =>
+          // Recoverable = "this artifact is stale, damaged, or
+          // unreadable": the kind/snapshot/parameter gates
+          // (IllegalArgumentException — NumberFormatException is a
+          // subtype), missing or truncated members (IOException covers
+          // FileNotFound and the EOF a cut-short blob throws), and
+          // Spark-level read failures on damaged parquet
+          // (AnalysisException, SparkException). The rebuild fallback
+          // exists precisely for damaged artifacts; anything else
+          // (OOM, interrupt) is not artifact damage and propagates.
+          case e @ (_: IllegalArgumentException | _: java.io.IOException
+              | _: org.apache.spark.SparkException
+              | _: org.apache.spark.sql.AnalysisException) =>
             log.warn(s"stale/incompatible $name artifact at $dir " +
               s"(${e.getMessage}) — rebuilding for the current snapshot")
             buildAndSave("rebuilt")

@@ -255,6 +255,49 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no corpus fingerprint"))
   }
 
+  test("a sidecar missing a build parameter is rebuilt, not a key-error wedge") {
+    // ADVICE r9: a damaged sidecar that lost a parameter key used to
+    // throw NoSuchElementException from m("k") — outside the standing
+    // seam's rebuild catch, so every restart wedged on the damage.
+    // checkMeta now validates the per-kind keys, funneling damage into
+    // IllegalArgumentException → the warn+rebuild path.
+    val root = Files.createTempDirectory("graft_art_badkey_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    val r1 = SparkEntry.queries("q80_incremental_dedup")(s1, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q80-neardup").contains("built"))
+    val dir = ArtifactStore.configuredDir(s1, "q80-neardup", sf).get
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(s"$dir/meta.properties")
+    try p.load(in) finally in.close()
+    p.remove("k")
+    // rewrite through the Hadoop FS (the store's own IO path) so the
+    // checksum sidecar stays valid — the damage under test is a
+    // well-formed sidecar MISSING a key, not a torn write
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/meta.properties")
+    val out = hp.getFileSystem(s1.sessionState.newHadoopConf()).create(hp, true)
+    try p.store(out, null) finally out.close()
+    // direct load: the damage surfaces as the catchable gate type,
+    // with the right snapshot (so it's the KEY check that fires)
+    val snap = CorpusSnapshot(p.getProperty("snapshotRows").toLong,
+      p.getProperty("snapshotHashSum").toLong)
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.loadNearDupIndex(s1, dir, snap)
+    }
+    assert(e.getMessage.contains("missing build parameter 'k'"))
+    // query path: a restarted process rebuilds over the damage
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val r2 = SparkEntry.queries("q80_incremental_dedup")(s2, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q80-neardup").contains("rebuilt"),
+      "damaged sidecar should take the warn+rebuild path")
+    assert(r2 == r1)
+    GraftSession.close(s1)
+    GraftSession.close(s2)
+  }
+
   test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
     val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
     val snap = CorpusSnapshot(7, 77)

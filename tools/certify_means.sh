@@ -1,0 +1,39 @@
+#!/bin/sh
+# Both-mode oracle certification (VERDICT r9 #2) — the standing round
+# step that keeps the PRODUCTION mean path (spark.graft.exactMeans=false,
+# the tree-reduced VecMean aggregate clusterBuilder presets) oracle-
+# proven every round, not just the fold default Verify runs with.
+#
+#     tools/certify_means.sh [sfDir] [outRoot]
+#
+# Runs graft.Verify + tools/oracle_check.py TWICE at the given scale
+# (default sf0.01, ~2 min/mode): once per exactMeans mode. Any red row
+# in either mode exits 1. The exactMeans flag rides a -D system
+# property: SparkConf absorbs spark.* sys-props at session build, so
+# the forked Verify JVM picks it up with no code seam.
+set -u
+sf="${1:-/root/testdata/sf0.01}"
+outroot="${2:-/tmp/graft_certify_means}"
+cd "$(dirname "$0")/.." || exit 2
+
+rc=0
+for mode in true false; do
+    out="$outroot/exactMeans_$mode"
+    rm -rf "$out"
+    echo "== certify_means: exactMeans=$mode at $sf"
+    sbt -batch \
+        "set run/javaOptions += \"-Dspark.graft.exactMeans=$mode\"" \
+        "runMain graft.Verify $sf $out" >/dev/null 2>&1 \
+        || { echo "== Verify FAILED (exactMeans=$mode)"; rc=1; continue; }
+    # capture to a file: a pipe would make $? report tail's status
+    python3 tools/oracle_check.py "$sf" "$out" > "$out/check.log" 2>&1
+    st=$?
+    tail -1 "$out/check.log"
+    [ "$st" -eq 0 ] || { grep -v "PASS \[" "$out/check.log"; rc=1; }
+done
+if [ "$rc" -eq 0 ]; then
+    echo "== certify_means: BOTH modes oracle-green at $sf"
+else
+    echo "== certify_means: FAILURES (see above)"
+fi
+exit "$rc"

@@ -56,6 +56,46 @@ def cell_eq(a, b):
     return a == b, a == b
 
 
+def max_match(ok, n_es):
+    """Maximum bipartite matching (Kuhn's augmenting paths, ITERATIVE —
+    a bucket of all-float rows can hold the whole table, and the old
+    recursive augment hit Python's ~1000-frame recursion limit there,
+    crashing the checker instead of producing a red/green row).
+    ok[i] lists the candidate e-indices for g-row i. Returns
+    (match_of_e, unmatched_g_rows)."""
+    match_of_e = [None] * n_es
+    unmatched = []
+    for root in range(len(ok)):
+        seen = set()
+        # frame = [g_row, edge iterator, e-edge from the parent frame]
+        stack = [[root, iter(ok[root]), None]]
+        matched = False
+        while stack:
+            g, it, _ = stack[-1]
+            step = None  # None = frame exhausted
+            for j in it:
+                if j in seen:
+                    continue
+                seen.add(j)
+                step = j
+                break
+            if step is None:
+                stack.pop()  # dead end — resume the parent's iterator
+            elif match_of_e[step] is None:
+                # free e-node: flip matches along the path down the stack
+                match_of_e[step] = g
+                for k in range(len(stack) - 1, 0, -1):
+                    match_of_e[stack[k][2]] = stack[k - 1][0]
+                matched = True
+                break
+            else:
+                stack.append(
+                    [match_of_e[step], iter(ok[match_of_e[step]]), step])
+        if not matched:
+            unmatched.append(root)
+    return match_of_e, unmatched
+
+
 def compare(name, got_tbl, exp_tbl):
     """Compare two Arrow tables; return (ok, message)."""
     gc, gt, gr = canon_arrow(got_tbl)
@@ -124,28 +164,21 @@ def compare(name, got_tbl, exp_tbl):
             # (non-float cells split the rows), so O(V·E) is fine.
             ok = [[j for j, e in enumerate(es) if row_eq(g, e)[1]]
                   for g in gs]
-            match_of_e = [None] * len(es)
-
-            def augment(i, seen):
-                for j in ok[i]:
-                    if j not in seen:
-                        seen.add(j)
-                        if match_of_e[j] is None or \
-                                augment(match_of_e[j], seen):
-                            match_of_e[j] = i
-                            return True
-                return False
-            unmatched = [i for i in range(len(gs))
-                         if not augment(i, set())]
+            match_of_e, unmatched = max_match(ok, len(es))
             if unmatched:
                 tol_all = False
-                i = unmatched[0]
-                # report against the sorted-position partner
-                for c, (gv, ev) in zip(gc, zip(gs[i], es[i])):
-                    if not cell_eq(gv, ev)[1]:
-                        first_bad = first_bad or (c, gv, ev)
-                first_bad = first_bad or (gc[0], gs[i], "no unmatched "
-                                          "oracle row within tolerance")
+                if first_bad is None:
+                    i = unmatched[0]
+                    # point at the sorted-position partner's first bad
+                    # cell when there is one; otherwise that partner
+                    # happens to pair cell-by-cell (it was just claimed
+                    # by another row), so report the stranded row itself
+                    bad = next(((c, gv, ev) for c, gv, ev
+                                in zip(gc, gs[i], es[i])
+                                if not cell_eq(gv, ev)[1]), None)
+                    first_bad = (f"col={bad[0]} got={bad[1]!r} "
+                                 f"exp={bad[2]!r}") if bad else \
+                        f"no oracle row within tolerance for got row {gs[i]!r}"
             pairs = [(gs[match_of_e[j]], es[j]) for j in range(len(es))
                      if match_of_e[j] is not None]
         for g, e in pairs:
@@ -153,8 +186,7 @@ def compare(name, got_tbl, exp_tbl):
     if tol_all:
         lvl = "EXACT" if exact_all else "TOLERANT(float-noise!)"
         return True, f"PASS [{lvl}] rows={len(gr)}"
-    c, gv, ev = first_bad
-    return False, f"VALUE-MISMATCH col={c} got={gv!r} exp={ev!r}"
+    return False, f"VALUE-MISMATCH {first_bad}"
 
 
 def selftest():
@@ -212,6 +244,15 @@ def selftest():
         ok_m, msg_m = compare("selftest-matching",
                               tbl([(g1a, g1b), (g1b, g1a)]),
                               tbl([(e1v, e1v), (e2a, e2b)]))
+        # Deep augmenting chain: row i greedily claims e_{i+1}, so the
+        # last row (whose only option is e_{n-1}) must flip the ENTIRE
+        # chain back to i->e_i — an n-frame augmenting path. At 5000
+        # rows the old recursive augment died on RecursionError (the
+        # all-float-columns single-bucket class); the iterative matcher
+        # must both survive and fully match it.
+        n_chain = 5000
+        chain_ok = [[i + 1, i] for i in range(n_chain - 1)] + [[n_chain - 1]]
+        chain_match, chain_um = max_match(chain_ok, n_chain)
         # NULL vs value in a float column is a real difference
         ok_n, msg_n = compare(
             "selftest-null",
@@ -226,12 +267,15 @@ def selftest():
         f"checker MISSED a real float difference: {msg_bad2}"
     assert ok_m, \
         f"augmenting matching failed to pair strandable rows: {msg_m}"
+    assert chain_um == [] and sorted(
+        j for j in chain_match if j is not None) == list(range(n_chain)), \
+        f"deep chain not fully matched: {len(chain_um)} unmatched"
     assert not ok_n and "VALUE-MISMATCH" in msg_n, \
         f"checker waved through NULL vs value in a float column: {msg_n}"
     print(f"selftest: uncast sum flagged ({msg_bad.split(';')[0].strip()});"
           " cast sum passes; boundary straddle pairs ({});"
-          " stranded partner recovered; NULL-vs-value red;"
-          " real float diff red. OK".format(msg_b))
+          " stranded partner recovered; 5000-deep chain matched;"
+          " NULL-vs-value red; real float diff red. OK".format(msg_b))
 
 
 def main():
