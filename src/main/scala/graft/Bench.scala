@@ -20,11 +20,22 @@ object Bench {
     sec
   }
 
+  // Locale-pinned decimal formatting: the f interpolator uses the JVM
+  // default locale, and a comma-decimal locale would corrupt the one
+  // JSON line this main exists to emit (the r3/r4 null-parse class).
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // bracket the suite with the calibration probe: contention during
-    // the ~80 s run shows up as the start/end pair disagreeing
+    // the ~80 s run shows up as the start/end pair disagreeing. One
+    // UNTIMED pass first: the very first calibrate() in a fresh JVM
+    // runs partly pre-C2 (measured 0.82 vs 0.72 s warm — a 1.14×
+    // asymmetry with zero load that would eat most of the 1.3×
+    // mid-run-contention threshold).
+    calibrate()
     val calibStart = calibrate()
     val spark = GraftSession.local(cpus)
     // Untimed warmup: absorbs one-time JVM/codegen/session costs so the
@@ -79,8 +90,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val calibEnd = calibrate()
-    val calibField =
-      f""","calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f"""
+    val calibField = s""","calib_start_sec":${f3(calibStart)}""" +
+      s""","calib_end_sec":${f3(calibEnd)}"""
     // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
     // the result lines in the merged stream. The driver keeps only a
     // fixed-size TAIL of stdout, so the FRONT of the stream is what gets
@@ -112,7 +123,8 @@ object Bench {
           .mkString(""","failed":[""", ",", "]")
       // failed_sec can be non-zero with an empty failed list (a retry
       // threw after a valid first run) — report it whenever time burned
-      val sec = if (failedSec > 0) f""","failed_sec":$failedSec%.3f""" else ""
+      val sec =
+        if (failedSec > 0) s""","failed_sec":${f3(failedSec)}""" else ""
       list + sec
     }
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField$calibField}""")

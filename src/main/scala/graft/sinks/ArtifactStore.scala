@@ -135,15 +135,18 @@ object ArtifactStore {
     * wrong corpus both fail fast, before any data is read. */
   private val KindNames = Map("neardup" -> "a near-dup index",
     "bloom" -> "a bloom artifact", "ivf" -> "an IVF index")
-  // The parameter keys each kind's load reads (m("k") etc.). A sidecar
-  // missing one is a DAMAGED artifact, and damage must surface as
-  // IllegalArgumentException — the type the standing seam's rebuild
-  // fallback catches — not wedge every restart on the
-  // NoSuchElementException a bare m("k") would throw.
+  // The parameter keys each kind's load reads through a BARE m("...")
+  // lookup. A sidecar missing one is a DAMAGED artifact, and damage
+  // must surface as IllegalArgumentException — the type the standing
+  // seam's rebuild fallback catches — not wedge every restart on the
+  // NoSuchElementException a bare m("k") would throw. Keys a load only
+  // consults via Option (bloom's hasKeys) or never reads (dims,
+  // expectedItems — write-side observability) are NOT required: an
+  // otherwise-loadable artifact must not be declared damaged, and
+  // rebuilt at hours-scale, over a key the load never touches.
   private val KindKeys = Map(
     "neardup" -> Seq("k", "bands", "threshold"),
-    "bloom" -> Seq("expectedItems", "hasKeys"),
-    "ivf" -> Seq("k", "dims"))
+    "ivf" -> Seq("k"))
   private def checkMeta(dir: String, kind: String,
       expect: CorpusSnapshot): Map[String, String] = {
     val m = readMeta(dir)
@@ -259,11 +262,23 @@ object ArtifactStore {
   def loadNearDupIndex(s: SparkSession, dir: String,
       expect: CorpusSnapshot): Dedup.NearDupIndex = {
     val m = checkMeta(dir, "neardup", expect)
-    Dedup.nearDupIndexFromParts(
+    val idx = Dedup.nearDupIndexFromParts(
       s.read.parquet(s"$dir/hashes"),
       s.read.parquet(s"$dir/bands"),
       m("k").toInt, m("bands").toInt, m("threshold").toDouble)
+    forceLoaded(idx.hashes, idx.guardedBands)
+    idx
   }
+
+  /** Materialize loaded member frames INSIDE the load call. Parquet is
+    * read lazily (only footers at planning), so data-page damage in a
+    * present-but-corrupt artifact would otherwise first throw at the
+    * initial probe ACTION — outside the standing seam's rebuild catch,
+    * wedging every restart on damage the fallback exists to absorb.
+    * Costs nothing extra: every loaded member is cached and serves
+    * full-scan probes, so this only moves the one scan earlier. */
+  private def forceLoaded(frames: DataFrame*): Unit =
+    frames.foreach(_.count())
 
   // ---- Corpus bloom (q101's exact-dedup prefilter) ------------------
 
@@ -315,13 +330,25 @@ object ArtifactStore {
 
   /** Load both halves of the exact-admission artifact: the distinct-key
     * frame (cached — it serves every micro-batch's anti join) and the
-    * bloom blob. */
+    * bloom blob. The blob is deserialize-VALIDATED here: a truncated
+    * blob still "reads fine" ([[readBlob]] just returns the shorter
+    * file), and would otherwise first throw inside
+    * BloomFilterMightContain at the first probe action — outside the
+    * standing seam's rebuild catch. readFrom surfaces damage as
+    * IOException, the recoverable type; cost is one ~MB deserialize at
+    * load. ([[loadBloom]] stays a raw-bytes accessor — the atomicity
+    * specs round-trip arbitrary blobs through it.) */
   def loadBloomKeys(s: SparkSession, dir: String,
       expect: CorpusSnapshot): (DataFrame, Array[Byte]) = {
     val m = checkMeta(dir, "bloom", expect)
     require(m.get("hasKeys").contains("true"),
       s"$dir was saved without its key frame")
-    (s.read.parquet(s"$dir/keys").cache(), readBlob(s"$dir/bloom.bin"))
+    val keys = s.read.parquet(s"$dir/keys").cache()
+    forceLoaded(keys)
+    val bytes = readBlob(s"$dir/bloom.bin")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    (keys, bytes)
   }
 
   // ---- IVF inverted index (q50/q111's standing cell index) ----------
@@ -349,6 +376,7 @@ object ArtifactStore {
       : (DataFrame, Seq[Array[Double]]) = {
     val m = checkMeta(dir, "ivf", expect)
     val cells = s.read.parquet(s"$dir/cells").cache()
+    forceLoaded(cells)
     val cents = s.read.parquet(s"$dir/centroids")
       .orderBy(col("cell_idx")).collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vals")).toArray).toSeq

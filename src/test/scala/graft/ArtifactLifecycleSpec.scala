@@ -298,6 +298,78 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSession.close(s2)
   }
 
+  test("a corrupt parquet member is rebuilt, not a restart wedge") {
+    // ADVICE r9: the rebuild catch only spanned the sidecar gates
+    // (IllegalArgumentException) — damage in an artifact's DATA members
+    // threw IO/Spark errors outside it, wedging every restart. The
+    // catch now covers those, and loads force the member scan
+    // (forceLoaded) so even lazily-read parquet damage surfaces INSIDE
+    // the catch.
+    val root = Files.createTempDirectory("graft_art_badpq_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    val r1 = SparkEntry.queries("q80_incremental_dedup")(s1, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q80-neardup").contains("built"))
+    val dir = ArtifactStore.configuredDir(s1, "q80-neardup", sf).get
+    // truncate every data file of one member (Spark wrote these
+    // directly, no Hadoop checksum sidecars): the parquet footer goes
+    // with the tail, so the load's read throws a Spark-level error
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/hashes"))
+      .iterator(); var truncated = 0
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val b = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, b.take(8)); truncated += 1
+      }
+    }
+    assert(truncated > 0, "expected parquet part files to damage")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val r2 = SparkEntry.queries("q80_incremental_dedup")(s2, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q80-neardup").contains("rebuilt"),
+      "corrupt parquet member should take the warn+rebuild path")
+    assert(r2 == r1)
+    GraftSession.close(s1)
+    GraftSession.close(s2)
+  }
+
+  test("a truncated bloom blob is rebuilt at load, not a wedge at first probe") {
+    // A cut-short blob is the nastiest damage shape: readBlob reads the
+    // shorter file without error, and the failure would otherwise
+    // surface inside BloomFilterMightContain at the first probe ACTION
+    // — outside the standing seam's catch. loadBloomKeys now
+    // deserialize-validates the blob inside the load.
+    val root = Files.createTempDirectory("graft_art_badblob_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    val r1 = SparkEntry.queries("q101_stream_bloom_dedup")(s1, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q101-bloom").contains("built"))
+    val dir = ArtifactStore.configuredDir(s1, "q101-bloom", sf).get
+    // halve the blob through the Hadoop FS (the store's own IO path, so
+    // its checksum sidecar stays consistent — the damage under test is
+    // truncation, not a torn local write)
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val hfs = hp.getFileSystem(s1.sessionState.newHadoopConf())
+    val whole = new Array[Byte](hfs.getFileStatus(hp).getLen.toInt)
+    val in = hfs.open(hp)
+    try in.readFully(0, whole) finally in.close()
+    val out = hfs.create(hp, true)
+    try out.write(whole, 0, whole.length / 2) finally out.close()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val r2 = SparkEntry.queries("q101_stream_bloom_dedup")(s2, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ArtifactStore.lastOrigin.get("q101-bloom").contains("rebuilt"),
+      "truncated blob should take the warn+rebuild path")
+    assert(r2 == r1)
+    GraftSession.close(s1)
+    GraftSession.close(s2)
+  }
+
   test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
     val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
     val snap = CorpusSnapshot(7, 77)

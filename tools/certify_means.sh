@@ -25,6 +25,23 @@ for mode in true false; do
         "set run/javaOptions += \"-Dspark.graft.exactMeans=$mode\"" \
         "runMain graft.Verify $sf $out" >/dev/null 2>&1 \
         || { echo "== Verify FAILED (exactMeans=$mode)"; rc=1; continue; }
+    # A query that THROWS inside Verify exits 0 (per-query catch) and
+    # simply has no dump dir, so oracle_check would report one fewer
+    # green row and still pass — the r6 silent-shrink class. Gate on
+    # Verify's own failure record AND on every oracle query having a
+    # dump before trusting the green report.
+    python3 - "$out" <<'PY'
+import json, pathlib, sys
+out = pathlib.Path(sys.argv[1])
+failed = json.loads((out / "_failed.json").read_text())
+assert not failed, f"Verify recorded failures: {sorted(failed)}"
+oracles = json.loads((out / "oracle_sql.json").read_text())
+dumps = {p.name for p in out.iterdir() if p.is_dir()}
+missing = sorted(set(oracles) - dumps)
+assert not missing, f"oracle queries with no dump: {missing}"
+PY
+    [ $? -eq 0 ] || { echo "== Verify dump INCOMPLETE (exactMeans=$mode)"
+                      rc=1; continue; }
     # capture to a file: a pipe would make $? report tail's status
     python3 tools/oracle_check.py "$sf" "$out" > "$out/check.log" 2>&1
     st=$?
