@@ -229,6 +229,11 @@ object SimilarityQueries extends QueryPack {
   private def corpusCells(s: SparkSession, d: String): DataFrame =
     cellsCache.get((s, d))({
       import graft.sinks.ArtifactStore
+      // fingerprint THIS session's corpus once (one cheap aggregate);
+      // it gates the load AND stamps the save — the same hoist the two
+      // sibling standing consumers use, so the gate and the stamp can
+      // never scan twice or drift apart on the rebuild path
+      lazy val snap = ivfSnapshot(s, d)
       ArtifactStore.standing(s, "ivf-index", d)({
         // trainCentroids, NOT centroids: the public accessor consults
         // the artifact dir and would recurse back into this build
@@ -240,13 +245,12 @@ object SimilarityQueries extends QueryPack {
           .cache()
         (cells, cents)
       })({ case ((cells, cents), dir) =>
-        ArtifactStore.saveIvfIndex(cells, cents, dir, ivfSnapshot(s, d))
+        ArtifactStore.saveIvfIndex(cells, cents, dir, snap)
       })({ dir =>
         // restart path: load cells AND centroids together (the probe
         // must assign against the exact build-time matrix), seeding
         // the centroid memo so every IVF consumer shares them
-        val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir,
-          ivfSnapshot(s, d))
+        val (cells, cents) = ArtifactStore.loadIvfIndex(s, dir, snap)
         centCache.put(d, cents)
         (cells, cents)
       })._1

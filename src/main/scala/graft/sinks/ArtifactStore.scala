@@ -196,6 +196,14 @@ object ArtifactStore {
     * the restart-path specs (which assert "loaded", not rebuilt). */
   val lastOrigin = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** True when `e`'s cause chain carries a JVM-fatal throwable (OOM,
+    * interrupt…) that Spark wrapped in a job failure — resource
+    * pressure, not artifact damage, so [[standing]] must not absorb it
+    * into a rebuild. */
+  private def fatalCause(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => !scala.util.control.NonFatal(t))
+
   // ---- shared standing-artifact resolution --------------------------
 
   /** The load-else-build resolution every standing-artifact consumer
@@ -227,14 +235,21 @@ object ArtifactStore {
           // subtype), missing or truncated members (IOException covers
           // FileNotFound and the EOF a cut-short blob throws), and
           // Spark-level read failures on damaged parquet
-          // (AnalysisException, SparkException). The rebuild fallback
-          // exists precisely for damaged artifacts; anything else
-          // (OOM, interrupt) is not artifact damage and propagates.
+          // (AnalysisException, SparkException). Spark WRAPS executor
+          // fatals, so the cause chain is walked: a SparkException
+          // carrying an OOM/interrupt is resource pressure, not
+          // artifact damage, and propagates. The residual bias is
+          // availability-over-efficiency: a transient infra failure
+          // during load takes the rebuild path (wasteful, logged with
+          // the full cause) — and a corpus that is itself unreadable
+          // makes the rebuild fail loudly on the same error, so the
+          // conflation can waste work but never silently mis-serve.
           case e @ (_: IllegalArgumentException | _: java.io.IOException
               | _: org.apache.spark.SparkException
-              | _: org.apache.spark.sql.AnalysisException) =>
+              | _: org.apache.spark.sql.AnalysisException)
+              if !fatalCause(e) =>
             log.warn(s"stale/incompatible $name artifact at $dir " +
-              s"(${e.getMessage}) — rebuilding for the current snapshot")
+              s"($e) — rebuilding for the current snapshot")
             buildAndSave("rebuilt")
         }
       case _ => buildAndSave("built")

@@ -315,16 +315,14 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // truncate every data file of one member (Spark wrote these
     // directly, no Hadoop checksum sidecars): the parquet footer goes
     // with the tail, so the load's read throws a Spark-level error
-    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/hashes"))
-      .iterator(); var truncated = 0
-    while (parts.hasNext) {
-      val p = parts.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        val b = java.nio.file.Files.readAllBytes(p)
-        java.nio.file.Files.write(p, b.take(8)); truncated += 1
-      }
+    val parts = new java.io.File(s"$dir/hashes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, "expected parquet part files to damage")
+    parts.foreach { f =>
+      val p = f.toPath
+      val b = java.nio.file.Files.readAllBytes(p)
+      java.nio.file.Files.write(p, b.take(8))
     }
-    assert(truncated > 0, "expected parquet part files to damage")
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.artifactDir", root)
     val r2 = SparkEntry.queries("q80_incremental_dedup")(s2, sf)

@@ -16,29 +16,42 @@ sf="${1:-/root/testdata/sf0.01}"
 outroot="${2:-/tmp/graft_certify_means}"
 cd "$(dirname "$0")/.." || exit 2
 
+# The full registered query surface, pinned as a LITERAL: a query
+# dropped from BOTH SparkEntry.queries and oracleSql leaves nothing for
+# the dump-vs-oracle diff below to notice (the r6 silent-shrink class),
+# so the count itself is the gate. Feature-complete since r4 — a
+# deliberate surface change updates this line in the same commit.
+expected_queries=109
+
 rc=0
 for mode in true false; do
     out="$outroot/exactMeans_$mode"
     rm -rf "$out"
+    mkdir -p "$outroot"
     echo "== certify_means: exactMeans=$mode at $sf"
     sbt -batch \
         "set run/javaOptions += \"-Dspark.graft.exactMeans=$mode\"" \
-        "runMain graft.Verify $sf $out" >/dev/null 2>&1 \
-        || { echo "== Verify FAILED (exactMeans=$mode)"; rc=1; continue; }
+        "runMain graft.Verify $sf $out" \
+        > "$outroot/verify_$mode.log" 2>&1 \
+        || { echo "== Verify FAILED (exactMeans=$mode) — tail of $outroot/verify_$mode.log:"
+             tail -20 "$outroot/verify_$mode.log"; rc=1; continue; }
     # A query that THROWS inside Verify exits 0 (per-query catch) and
     # simply has no dump dir, so oracle_check would report one fewer
     # green row and still pass — the r6 silent-shrink class. Gate on
-    # Verify's own failure record AND on every oracle query having a
-    # dump before trusting the green report.
-    python3 - "$out" <<'PY'
+    # Verify's own failure record, on every oracle query having a dump,
+    # AND on the pinned total surface count.
+    python3 - "$out" "$expected_queries" <<'PY'
 import json, pathlib, sys
-out = pathlib.Path(sys.argv[1])
+out, expected = pathlib.Path(sys.argv[1]), int(sys.argv[2])
 failed = json.loads((out / "_failed.json").read_text())
 assert not failed, f"Verify recorded failures: {sorted(failed)}"
 oracles = json.loads((out / "oracle_sql.json").read_text())
 dumps = {p.name for p in out.iterdir() if p.is_dir()}
 missing = sorted(set(oracles) - dumps)
 assert not missing, f"oracle queries with no dump: {missing}"
+assert len(dumps) == expected, (
+    f"query surface shrank: {len(dumps)} dumps vs the pinned "
+    f"{expected} — a query was dropped from the registry")
 PY
     [ $? -eq 0 ] || { echo "== Verify dump INCOMPLETE (exactMeans=$mode)"
                       rc=1; continue; }
