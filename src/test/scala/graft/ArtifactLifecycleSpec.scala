@@ -453,4 +453,34 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 4 &&
       ArtifactStore.lastOrigin("unit-standing") == "loaded")
   }
+
+  test("standing propagates Spark-wrapped fatals instead of rebuilding") {
+    // review r10: an executor OOM or interrupt reaches the driver
+    // WRAPPED in SparkException — resource pressure, not artifact
+    // damage. Absorbing it into a rebuild would silently discard an
+    // intact index (hours at corpus scale) and likely hit the same
+    // pressure again; the cause chain decides.
+    val root = Files.createTempDirectory("graft_standing_fatal_").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    var builds = 0
+    def resolve(load: String => Int): Int =
+      ArtifactStore.standing(s1, "unit-fatal", sf)({ builds += 1; 7 })(
+        (_, dir) => ArtifactStore.saveBloom(Array[Byte](1), dir,
+          CorpusSnapshot(1, 1)))(load)
+    assert(resolve(_ => 7) == 7 && builds == 1)
+    val oom = new org.apache.spark.SparkException("job aborted",
+      new OutOfMemoryError("executor heap"))
+    val thrown = intercept[org.apache.spark.SparkException] {
+      resolve(_ => throw oom)
+    }
+    assert((thrown eq oom) && builds == 1,
+      "a fatal-caused load failure must propagate, not rebuild")
+    // the same exception TYPE without a fatal cause is artifact damage
+    // and takes the warn+rebuild path
+    assert(resolve(_ =>
+      throw new org.apache.spark.SparkException("damaged parquet")) == 7)
+    assert(builds == 2 &&
+      ArtifactStore.lastOrigin("unit-fatal") == "rebuilt")
+  }
 }
