@@ -179,7 +179,7 @@ object CleanseQueries extends QueryPack {
         |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
 
     "q24_nodeid_extract" ->
-      """SELECT regexp_extract(measObjLdn, '=([^,]+)', 1) AS nodeid,
+      """SELECT regexp_extract(measObjLdn, '^[^=]*=([^,=]*)', 1) AS nodeid,
         |  count(*) AS n
         |FROM (SELECT 'eNodeB=NODE' || (c_custkey % 50) || ',Cell=' ||
         |        (c_custkey % 7) AS measObjLdn FROM customer)

@@ -76,6 +76,30 @@ object StreamingQueries extends QueryPack {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Arrival schema of the document-admission fixtures (q101/q105;
+    * q107 extends it with `_corrupt_record`). */
+  private val DocArrivalSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  /** Stage `df` as ONE file named `name` in `inDir` — the ordered-
+    * arrival fixture convention every streaming query uses (coalesce(1)
+    * write, move the single part file to its arrival name). Default is
+    * line-delimited JSON; `format = "text"` stages pre-serialized lines
+    * (q107's deliberately-corrupt payloads). Shared so the staging
+    * convention cannot drift between queries. */
+  private def stageSingleFile(df: DataFrame, fxRoot: String,
+      inDir: java.io.File, name: String, format: String = "json"): Unit = {
+    val st = s"$fxRoot/stage_$name"
+    val ext = if (format == "text") ".txt" else ".json"
+    if (format == "text") df.coalesce(1).write.mode("overwrite").text(st)
+    else df.coalesce(1).write.mode("overwrite").json(st)
+    val part = new java.io.File(st).listFiles()
+      .filter(_.getName.endsWith(ext)).head
+    Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+  }
+
   /** STANDING admission artifacts, memoized per (session, dir) like the
     * other shared frames: the q101 corpus (distinct content keys +
     * their bloom) and the q105 [[graft.ext.Dedup.NearDupIndex]]. A
@@ -185,7 +209,11 @@ object StreamingQueries extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      def src = ss.readStream.schema(schema).json(s"$in/in")
+      // ONE source, two filtered branches (the stream SELF-JOIN form):
+      // a `def` here would register two independent file sources that
+      // each scan and JSON-parse the full input every micro-batch —
+      // double source I/O and a second offset log for the same files
+      val src = ss.readStream.schema(schema).json(s"$in/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
@@ -254,7 +282,10 @@ object StreamingQueries extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      def src = ss.readStream.schema(schema)
+      // ONE source (self-join form; see q55) — with maxFilesPerTrigger=1
+      // this also makes each micro-batch feed BOTH sides from the same
+      // file instead of two sources pacing their own file queues
+      val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -358,13 +389,8 @@ object StreamingQueries extends QueryPack {
         base.withColumn("version", lit(1L))
           .write.mode("overwrite").parquet(s"$fx/snap0")
         val in = new java.io.File(s"$fx/in"); in.mkdirs()
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val st = s"$fx/stage_$name"
-          df.coalesce(1).write.mode("overwrite").json(st)
-          val part = new java.io.File(st).listFiles()
-            .filter(_.getName.endsWith(".json")).head
-          Files.move(part.toPath, new java.io.File(in, name).toPath)
-        }
+        def stage(df: DataFrame, name: String): Unit =
+          stageSingleFile(df, fx, in, name)
         stage(base.filter(col("o_orderkey") % 7 === 0)
           .withColumn("o_orderstatus", lit("U"))
           .withColumn("version", lit(2L)), "001_upd.json")
@@ -459,13 +485,8 @@ object StreamingQueries extends QueryPack {
         val delta = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("source"), col("text"))
         val in = new java.io.File(s"$fx/in"); in.mkdirs()
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val st = s"$fx/stage_$name"
-          df.coalesce(1).write.mode("overwrite").json(st)
-          val part = new java.io.File(st).listFiles()
-            .filter(_.getName.endsWith(".json")).head
-          Files.move(part.toPath, new java.io.File(in, name).toPath)
-        }
+        def stage(df: DataFrame, name: String): Unit =
+          stageSingleFile(df, fx, in, name)
         stage(delta.filter(col("doc_id") % 2 === 0), "001_even.json")
         stage(delta.filter(col("doc_id") % 2 === 1), "002_odd.json")
       }
@@ -475,12 +496,8 @@ object StreamingQueries extends QueryPack {
       // clones a new session per invocation): corpus fold paid once,
       // reused by every subsequent drain over the same snapshot
       val (corpusKeys, bloom) = corpusBloom(s, d)
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("source", StringType),
-        StructField("text", StringType)))
       var (nDefinite, nMaybe) = (0L, 0L)
-      val q = ss.readStream.schema(schema)
+      val q = ss.readStream.schema(DocArrivalSchema)
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -537,25 +554,16 @@ object StreamingQueries extends QueryPack {
         val delta = Tables.documents(s, d).filter(col("doc_id") % 9 === 4)
           .select(col("doc_id"), col("source"), col("text"))
         val in = new java.io.File(s"$fx/in"); in.mkdirs()
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val st = s"$fx/stage_$name"
-          df.coalesce(1).write.mode("overwrite").json(st)
-          val part = new java.io.File(st).listFiles()
-            .filter(_.getName.endsWith(".json")).head
-          Files.move(part.toPath, new java.io.File(in, name).toPath)
-        }
+        def stage(df: DataFrame, name: String): Unit =
+          stageSingleFile(df, fx, in, name)
         stage(delta.filter(col("doc_id") % 2 === 0), "001_even.json")
         stage(delta.filter(col("doc_id") % 2 === 1), "002_odd.json")
       }
       val tmp = Files.createTempDirectory("graft_nd_run_").toString
       val ss = streamSession(s)
       val idx = standingNearDupIndex(s, d)
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("source", StringType),
-        StructField("text", StringType)))
       var nRejected = 0L
-      val q = ss.readStream.schema(schema)
+      val q = ss.readStream.schema(DocArrivalSchema)
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -602,7 +610,7 @@ object StreamingQueries extends QueryPack {
         val delta = Tables.documents(s, d).filter(col("doc_id") % 11 === 5)
           .select(col("doc_id"), col("source"), col("text"))
         val in = new java.io.File(s"$fx/in"); in.mkdirs()
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        def stage(df: DataFrame, name: String): Unit = {
           val lines = df
             .withColumn("value", when(col("doc_id") % 3 === 1,
               // truncated mid-string — unparseable, whole row corrupt
@@ -612,22 +620,15 @@ object StreamingQueries extends QueryPack {
               .otherwise(to_json(struct(col("doc_id"), col("source"),
                 col("text")))))
             .select(col("value"))
-          val st = s"$fx/stage_$name"
-          lines.coalesce(1).write.mode("overwrite").text(st)
-          val part = new java.io.File(st).listFiles()
-            .filter(_.getName.endsWith(".txt")).head
-          Files.move(part.toPath, new java.io.File(in, name).toPath)
+          stageSingleFile(lines, fx, in, name, format = "text")
         }
         stage(delta.filter(col("doc_id") % 2 === 0), "001_even.json")
         stage(delta.filter(col("doc_id") % 2 === 1), "002_odd.json")
       }
       val tmp = Files.createTempDirectory("graft_dl_run_").toString
       val ss = streamSession(s)
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("source", StringType),
-        StructField("text", StringType),
-        StructField("_corrupt_record", StringType)))
+      val schema = DocArrivalSchema
+        .add(StructField("_corrupt_record", StringType))
       val q = ss.readStream.schema(schema)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")

@@ -73,7 +73,12 @@ object XmlMeas {
         !exists(
           slice(entries, i + lit(2),
             greatest(lit(0), size(entries) - i - lit(1))),
-          e2 => e2.getField("_p") === e.getField("_p"))))
+          // null-SAFE equality: with ===, a null-@p entry later in the
+          // slice makes exists() return NULL (no TRUE, one NULL) under
+          // three-valued logic, !NULL stays NULL, and filter() drops
+          // the GOOD entry — one malformed measType would erase every
+          // dictionary entry before it and UNKNOWN_-name their KPIs
+          e2 => e2.getField("_p") <=> e.getField("_p"))))
   }
 
   /** Flatten a DataFrame carrying one measCollecFile XML document per row
@@ -117,8 +122,10 @@ object XmlMeas {
       col("fileId"), col("beginTime"), col("localDn"), col("measInfoId"),
       col("jobId"), col("granPeriod"), col("endTime"), col("measObjLdn"),
       // nodeid: split('=')[1].split(',')[0] intent (dags/Dag2.py:111);
-      // "" when no '=' (SURVEY §2.11)
-      regexp_extract(col("measObjLdn"), "=([^,]+)", 1).as("nodeid"),
+      // "" when no '=' (SURVEY §2.11). Anchored so the capture is the
+      // run after the FIRST '=' stopping at ',' OR a second '=' —
+      // exactly the split semantics ("Cell=ABC=1,..." → ABC, not ABC=1)
+      regexp_extract(col("measObjLdn"), "^[^=]*=([^,=]*)", 1).as("nodeid"),
       col("r._p").as("kpiId"),
       coalesce(element_at(col("mt"), col("r._p")),
         concat(lit("UNKNOWN_"), col("r._p"))).as("kpiName"),

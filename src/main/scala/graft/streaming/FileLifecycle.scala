@@ -128,47 +128,75 @@ final class FileLifecycle(conf: Configuration) {
     val gzs = Option(sfs.globStatus(new Path(srcDir, "*.gz")))
       .getOrElse(Array.empty)
     var extracted = 0
+    // within-batch output-name collisions (x.gz and x.xml.gz both map
+    // to x.xml): extracting the second would silently overwrite the
+    // first's payload while both count as extracted — detected below
+    // and preserved lossless instead
+    val producedBy = scala.collection.mutable.Map.empty[String, String]
     gzs.foreach { st =>
       val name = st.getPath.getName
       val outName =
         if (name.endsWith(".xml.gz")) name.dropRight(3)
         else name.dropRight(3) + ".xml"
-      val staged = new Path(outDir, s".${outName}.__extracting")
-      val ok =
-        try {
-          val in: InputStream = new GZIPInputStream(sfs.open(st.getPath))
-          val out = ofs.create(staged, true)
-          try { IOUtils.copyBytes(in, out, 64 * 1024); true }
-          finally { in.close(); out.close() }
-        } catch {
-          case e: java.io.IOException =>
-            log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) — " +
-              "quarantining and continuing")
-            ofs.delete(staged, false)
-            false
-        }
-      if (ok) {
-        val target = new Path(outDir, outName)
-        ofs.delete(target, false) // re-extraction overwrites
-        if (!ofs.rename(staged, target))
-          throw new java.io.IOException(
-            s"rename $staged -> $target failed after extraction")
-        moveProcessed(st.getPath, doneDir, nowMillis)
-        extracted += 1
-      } else {
+      if (producedBy.contains(outName)) {
         val dfs = fs(doneDir)
         dfs.mkdirs(doneDir)
-        val quarantined = new Path(doneDir, s"corrupt_${nowMillis}_$name")
-        // rename reports failure as FALSE (e.g. cross-FS doneDir) — the
-        // same trap moveProcessed guards against. Quarantine must not
-        // throw (it exists so one bad file can't wedge the flow), but a
-        // permanently-failing quarantine has to be VISIBLE: otherwise
-        // the corrupt .gz silently stays in srcDir and is re-read,
-        // re-warned, and re-quarantine-attempted on every run forever.
-        if (!dfs.rename(st.getPath, quarantined))
-          log.error(s"quarantine rename ${st.getPath} -> $quarantined " +
-            "returned false — the corrupt archive remains in the source " +
-            "dir and will be re-attempted every run")
+        val conflicted = new Path(doneDir, s"conflict_${nowMillis}_$name")
+        if (dfs.rename(st.getPath, conflicted))
+          log.error(s"$name collides with ${producedBy(outName)} on " +
+            s"output $outName — preserved unextracted as $conflicted; " +
+            "recover it manually")
+        else
+          log.error(s"$name collides with ${producedBy(outName)} on " +
+            s"output $outName AND the conflict rename to $conflicted " +
+            "returned false — it remains in the source dir")
+      } else {
+        val staged = new Path(outDir, s".${outName}.__extracting")
+        val ok =
+          try {
+            val raw = sfs.open(st.getPath)
+            try {
+              // GZIPInputStream reads the gzip header EAGERLY in its
+              // constructor — a damaged header throws right here, so
+              // the raw stream must already sit under a finally or its
+              // handle leaks once per corrupt archive per run
+              val in: InputStream = new GZIPInputStream(raw)
+              val out = ofs.create(staged, true)
+              try { IOUtils.copyBytes(in, out, 64 * 1024); true }
+              finally { try in.close() finally out.close() }
+            } finally raw.close() // idempotent when in.close() got there
+          } catch {
+            case e: java.io.IOException =>
+              log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
+                "— quarantining and continuing")
+              ofs.delete(staged, false)
+              false
+          }
+        if (ok) {
+          val target = new Path(outDir, outName)
+          ofs.delete(target, false) // re-extraction overwrites
+          if (!ofs.rename(staged, target))
+            throw new java.io.IOException(
+              s"rename $staged -> $target failed after extraction")
+          moveProcessed(st.getPath, doneDir, nowMillis)
+          producedBy(outName) = name
+          extracted += 1
+        } else {
+          val dfs = fs(doneDir)
+          dfs.mkdirs(doneDir)
+          val quarantined = new Path(doneDir, s"corrupt_${nowMillis}_$name")
+          // rename reports failure as FALSE (e.g. cross-FS doneDir) —
+          // the same trap moveProcessed guards against. Quarantine must
+          // not throw (it exists so one bad file can't wedge the flow),
+          // but a permanently-failing quarantine has to be VISIBLE:
+          // otherwise the corrupt .gz silently stays in srcDir and is
+          // re-read, re-warned, and re-quarantine-attempted on every
+          // run forever.
+          if (!dfs.rename(st.getPath, quarantined))
+            log.error(s"quarantine rename ${st.getPath} -> $quarantined " +
+              "returned false — the corrupt archive remains in the " +
+              "source dir and will be re-attempted every run")
+        }
       }
     }
     extracted

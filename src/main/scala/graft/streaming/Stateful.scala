@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state (SURVEY.md §2.8 ST10 — greenfield relative to
@@ -44,7 +44,15 @@ object Stateful {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
         col(tsCol).cast("timestamp").as("_2"),
-        col(valCol).cast("double").as("_3"))
+        coalesce(col(valCol).cast("double"), lit(0.0)).as("_3"))
+      // a row whose key or timestamp casts to null cannot be keyed or
+      // placed in time — and a null reaching the primitive-tuple
+      // encoder / ts.getTime below kills the QUERY, which checkpoint
+      // replay then re-kills on every restart (one malformed record =
+      // permanently wedged flow; cleansing routes such rows to the
+      // dead-letter path upstream, q107). Null values fold to 0 per
+      // the NIL→0 cleansing contract.
+      .filter(col("_1").isNotNull && col("_2").isNotNull)
       .withWatermark("_2", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
@@ -90,7 +98,8 @@ object Stateful {
       valCol: String): Dataset[KeyedTotals] = {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
-        col(valCol).cast("double").as("_2"))
+        coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
+      .filter(col("_1").isNotNull) // see sessionize: null key = poison pill
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), KeyedTotals](
@@ -116,7 +125,8 @@ object Stateful {
       valCol: String): Dataset[KeyedTotals] = {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
-        col(valCol).cast("double").as("_2"))
+        coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
+      .filter(col("_1").isNotNull) // see sessionize: null key = poison pill
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new TotalsProcessor, TimeMode.None(),

@@ -67,7 +67,9 @@ object Cleanse {
     * matching the Python behavior only when '=' exists; rows without '='
     * raised IndexError in the reference — our spec: empty string. */
   def nodeidFrom(c: String, out: String = "nodeid"): Stage =
-    df => df.withColumn(out, regexp_extract(col(c), "=([^,]+)", 1))
+    // anchored: the run after the FIRST '=' up to ',' or a second '='
+    // — the reference's split('=')[1].split(',')[0] (dags/Dag2.py:111)
+    df => df.withColumn(out, regexp_extract(col(c), "^[^=]*=([^,=]*)", 1))
 
   /** F12: dictionary lookup with UNKNOWN_{id} fallback after the measType
     * join (reference dags/Dag2.py:129). */
