@@ -89,9 +89,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val calibEnd = calibrate()
-    val calibField = s""","calib_start_sec":${f3(calibStart)}""" +
-      s""","calib_end_sec":${f3(calibEnd)}"""
     // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
     // the result lines in the merged stream. The driver keeps only a
     // fixed-size TAIL of stdout, so the FRONT of the stream is what gets
@@ -100,6 +97,13 @@ object Bench {
     // exactly what nulled the r3/r4 bench parses.
     GraftSession.close(spark) // release registry-cached standing frames
     spark.stop()
+    // calibEnd AFTER spark.stop (ADVICE r10): both probes now run in a
+    // Spark-free JVM — residual executor-thread/GC activity from a live
+    // session inflated the end probe and biased the >1.3× start/end
+    // contention signal toward false positives.
+    val calibEnd = calibrate()
+    val calibField = s""","calib_start_sec":${f3(calibStart)}""" +
+      s""","calib_end_sec":${f3(calibEnd)}"""
     // A filtered run reports metric "subset" (plus the filter value), so a
     // stray SPARK_GRAFT_ONLY in the driver environment can never pass a
     // partial-suite total off as the official full-bench number.

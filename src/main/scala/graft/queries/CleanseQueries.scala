@@ -70,8 +70,13 @@ object CleanseQueries extends QueryPack {
 
     // ---- F10: nodeid extraction from measObjLdn ----
     "q24_nodeid_extract" -> ((s, d) => {
+      // every 11th key carries a SECOND '=' inside the first field
+      // ("…NODE5=P2,Cell=…"): split('=')[1] ends there, so nodeid is
+      // "NODE5", not "NODE5=P2" — the oracle derives it independently
+      // via split_part, so a regex that over-captures hash-mismatches
       val ldn = Tables.customer(s, d).select(
         concat(lit("eNodeB=NODE"), col("c_custkey") % 50,
+          when(col("c_custkey") % 11 === 0, lit("=P2")).otherwise(lit("")),
           lit(",Cell="), col("c_custkey") % 7).as("measObjLdn"))
       Cleanse.nodeidFrom("measObjLdn")(ldn)
         .groupBy(col("nodeid")).agg(count(lit(1)).as("n"))
@@ -179,10 +184,11 @@ object CleanseQueries extends QueryPack {
         |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
 
     "q24_nodeid_extract" ->
-      """SELECT regexp_extract(measObjLdn, '^[^=]*=([^,=]*)', 1) AS nodeid,
+      """SELECT split_part(split_part(measObjLdn, '=', 2), ',', 1) AS nodeid,
         |  count(*) AS n
-        |FROM (SELECT 'eNodeB=NODE' || (c_custkey % 50) || ',Cell=' ||
-        |        (c_custkey % 7) AS measObjLdn FROM customer)
+        |FROM (SELECT 'eNodeB=NODE' || (c_custkey % 50) ||
+        |        (CASE WHEN c_custkey % 11 = 0 THEN '=P2' ELSE '' END) ||
+        |        ',Cell=' || (c_custkey % 7) AS measObjLdn FROM customer)
         |GROUP BY nodeid ORDER BY nodeid""".stripMargin,
 
     "q25_json_value" ->

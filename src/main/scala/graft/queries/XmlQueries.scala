@@ -29,7 +29,12 @@ object XmlQueries extends QueryPack {
         lit("<granPeriod duration=\"PT900S\" endTime=\"2025-04-13T10:15:00Z\"/>"),
         lit("<measType p=\"1\">KPI_ALPHA</measType>"),
         lit("<measType p=\"2\">KPI_BETA</measType>"),
-        lit("<measValue measObjLdn=\"eNodeB=NODE"), k, lit(",Cell="), r, lit("\">"),
+        // even keys carry a second '=' in the first field ("…NODE4=S1,…"):
+        // nodeid must still be NODE4 (split('=')[1] ends at the second
+        // '='); the oracle derives nodeid independently as 'NODE' || k
+        lit("<measValue measObjLdn=\"eNodeB=NODE"), k,
+        when(col("n_nationkey") % 2 === 0, lit("=S1")).otherwise(lit("")),
+        lit(",Cell="), r, lit("\">"),
         lit("<r p=\"1\">"), (col("n_nationkey") * 1.5).cast("string"), lit("</r>"),
         lit("<r p=\"2\">NIL</r>"),
         lit("<r p=\"3\">"), r, lit("</r>"),
@@ -52,17 +57,18 @@ object XmlQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q41_xml_flatten" ->
-      """WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+      """WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r,
+        |  'eNodeB=NODE' || n_nationkey ||
+        |    (CASE WHEN n_nationkey % 2 = 0 THEN '=S1' ELSE '' END) ||
+        |    ',Cell=' || n_regionkey AS ldn FROM nation),
         |rows AS (
         |  SELECT k, 'MI_A' AS mi, '1' AS kpiId, 'KPI_ALPHA' AS kpiName,
         |         k * 1.5 AS kpiValue, 'NODE' || k AS nodeid,
-        |         'eNodeB=NODE' || k || ',Cell=' || r AS measObjLdn FROM n
+        |         ldn AS measObjLdn FROM n
         |  UNION ALL
-        |  SELECT k, 'MI_A', '2', 'KPI_BETA', 0.0, 'NODE' || k,
-        |         'eNodeB=NODE' || k || ',Cell=' || r FROM n
+        |  SELECT k, 'MI_A', '2', 'KPI_BETA', 0.0, 'NODE' || k, ldn FROM n
         |  UNION ALL
-        |  SELECT k, 'MI_A', '3', 'UNKNOWN_3', r::DOUBLE, 'NODE' || k,
-        |         'eNodeB=NODE' || k || ',Cell=' || r FROM n
+        |  SELECT k, 'MI_A', '3', 'UNKNOWN_3', r::DOUBLE, 'NODE' || k, ldn FROM n
         |  UNION ALL
         |  SELECT k, 'MI_B', '1', 'KPI_GAMMA', 0.0, '', 'PLAIN' || k FROM n)
         |SELECT k AS fid, '2025-04-13T10:00:00Z' AS beginTime,

@@ -200,9 +200,17 @@ object ArtifactStore {
     * interrupt…) that Spark wrapped in a job failure — resource
     * pressure, not artifact damage, so [[standing]] must not absorb it
     * into a rebuild. */
-  private def fatalCause(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+  private def fatalCause(e: Throwable): Boolean = {
+    // exhaustive, cycle-safe walk (ADVICE r10: a fixed depth cap would
+    // misclassify a deeper-wrapped fatal as artifact damage and rebuild
+    // under the same resource pressure); identity set guards the
+    // hand-built cause cycles Throwable permits
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    Iterator.iterate(e)(_.getCause)
+      .takeWhile(t => t != null && seen.add(t))
       .exists(t => !scala.util.control.NonFatal(t))
+  }
 
   // ---- shared standing-artifact resolution --------------------------
 
@@ -281,8 +289,10 @@ object ArtifactStore {
       s.read.parquet(s"$dir/hashes"),
       s.read.parquet(s"$dir/bands"),
       m("k").toInt, m("bands").toInt, m("threshold").toDouble)
-    forceLoaded(idx.hashes, idx.guardedBands)
-    idx
+    unpersistOnFailure(idx.hashes, idx.guardedBands) {
+      forceLoaded(idx.hashes, idx.guardedBands)
+      idx
+    }
   }
 
   /** Materialize loaded member frames INSIDE the load call. Parquet is
@@ -294,6 +304,17 @@ object ArtifactStore {
     * full-scan probes, so this only moves the one scan earlier. */
   private def forceLoaded(frames: DataFrame*): Unit =
     frames.foreach(_.count())
+
+  /** Run the tail of a load; if it throws, unpersist the frames the
+    * load has cached so far before rethrowing (ADVICE r10: the standing
+    * seam's rebuild path caches FRESH twins, so frames cached during
+    * the failed load would otherwise sit orphaned in the block manager
+    * for the life of the session). */
+  private def unpersistOnFailure[T](cached: DataFrame*)(body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        cached.foreach(_.unpersist(false)); throw e
+    }
 
   // ---- Corpus bloom (q101's exact-dedup prefilter) ------------------
 
@@ -359,11 +380,13 @@ object ArtifactStore {
     require(m.get("hasKeys").contains("true"),
       s"$dir was saved without its key frame")
     val keys = s.read.parquet(s"$dir/keys").cache()
-    forceLoaded(keys)
-    val bytes = readBlob(s"$dir/bloom.bin")
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
-    (keys, bytes)
+    unpersistOnFailure(keys) {
+      forceLoaded(keys)
+      val bytes = readBlob(s"$dir/bloom.bin")
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      (keys, bytes)
+    }
   }
 
   // ---- IVF inverted index (q50/q111's standing cell index) ----------
@@ -391,12 +414,14 @@ object ArtifactStore {
       : (DataFrame, Seq[Array[Double]]) = {
     val m = checkMeta(dir, "ivf", expect)
     val cells = s.read.parquet(s"$dir/cells").cache()
-    forceLoaded(cells)
-    val cents = s.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell_idx")).collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("vals")).toArray).toSeq
-    require(cents.size == m("k").toInt,
-      s"centroid count ${cents.size} != saved k ${m("k")}")
-    (cells, cents)
+    unpersistOnFailure(cells) {
+      forceLoaded(cells)
+      val cents = s.read.parquet(s"$dir/centroids")
+        .orderBy(col("cell_idx")).collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("vals")).toArray).toSeq
+      require(cents.size == m("k").toInt,
+        s"centroid count ${cents.size} != saved k ${m("k")}")
+      (cells, cents)
+    }
   }
 }

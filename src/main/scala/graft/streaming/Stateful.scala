@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state (SURVEY.md §2.8 ST10 — greenfield relative to
@@ -51,7 +51,12 @@ object Stateful {
       // replay then re-kills on every restart (one malformed record =
       // permanently wedged flow; cleansing routes such rows to the
       // dead-letter path upstream, q107). Null values fold to 0 per
-      // the NIL→0 cleansing contract.
+      // the NIL→0 cleansing contract. The drop is OBSERVED (per-batch
+      // `dropped_rows` in StreamingQueryProgress.observedMetrics) so
+      // attrition outside the dead-letter path is never silent.
+      .observe("graft_sessionize_dropped",
+        sum(when(col("_1").isNull || col("_2").isNull, 1L).otherwise(0L))
+          .as("dropped_rows"))
       .filter(col("_1").isNotNull && col("_2").isNotNull)
       .withWatermark("_2", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Double)]
@@ -99,7 +104,10 @@ object Stateful {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
         coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
-      .filter(col("_1").isNotNull) // see sessionize: null key = poison pill
+      // see sessionize: null key = poison pill; drop is observed
+      .observe("graft_totals_dropped",
+        sum(when(col("_1").isNull, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter(col("_1").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), KeyedTotals](
@@ -126,7 +134,10 @@ object Stateful {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
         coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
-      .filter(col("_1").isNotNull) // see sessionize: null key = poison pill
+      // see sessionize: null key = poison pill; drop is observed
+      .observe("graft_totals_tws_dropped",
+        sum(when(col("_1").isNull, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter(col("_1").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new TotalsProcessor, TimeMode.None(),

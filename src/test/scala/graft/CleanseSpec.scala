@@ -38,6 +38,16 @@ class CleanseSpec extends AnyFunSuite {
     assert(out.toSet == Set("NODE42", "", "b"))
   }
 
+  test("nodeidFrom: a second '=' inside the first field stops the capture") {
+    // split('=')[1].split(',')[0] on "x=ABC=1,y" is "ABC": the [1] slice
+    // already ends at the SECOND '='. The unanchored pre-r10 pattern
+    // "=([^,]+)" captured "ABC=1" — this fixture fails on that code.
+    val df = Seq("x=ABC=1,y", "SubNet=AREA=7", "k=v=w=z,t").toDF("measObjLdn")
+    val out = Cleanse.nodeidFrom("measObjLdn")(df)
+      .select("nodeid").as[String].collect()
+    assert(out.toSet == Set("ABC", "AREA", "v"))
+  }
+
   test("unknownFallback: UNKNOWN_{id} when name missing") {
     val df = Seq((Some("FT_RRC"), "1"), (None, "9")).toDF("kpiName", "kpiId")
     val out = df.select(Cleanse.unknownFallback("kpiName", "kpiId"))

@@ -93,6 +93,83 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet === Set((1L, 10.0)))
   }
 
+  test("null-key/null-ts rows are dropped, observed, and never wedge the query") {
+    // Pre-r10 there was no null filter: a null key hit the primitive
+    // tuple encoder (runningTotals) / ts.getTime (sessionize) and KILLED
+    // the query — and checkpoint replay re-killed it on every restart.
+    // This drain FAILS on that code. The drop must also be visible:
+    // observedMetrics carries a per-batch dropped_rows count (ADVICE r10).
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+
+    // runningTotals: null key among good rows
+    val rtIn = Files.createTempDirectory("nullrt_in_").toString
+    val rtChk = Files.createTempDirectory("nullrt_chk_").toString
+    val rtOut = Files.createTempDirectory("nullrt_out_").toString
+    Files.writeString(Paths.get(rtIn, "b1.json"),
+      """{"key":1,"v":2.0}
+        |{"key":null,"v":99.0}
+        |{"key":1,"v":3.0}""".stripMargin)
+    val rtQ = Stateful.runningTotals(
+        spark.readStream.schema(StructType(schema.take(1) :+ schema(2))).json(rtIn),
+        "key", "v")
+      .toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(s"$rtOut/data")
+      }
+      .option("checkpointLocation", rtChk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    rtQ.awaitTermination()
+    val rtRows = spark.read.parquet(s"$rtOut/data").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rtRows.toSet === Set((1L, 2L, 5.0))) // null-key row excluded
+    val rtDropped = rtQ.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("graft_totals_dropped")))
+      .map(_.getAs[Long]("dropped_rows")).sum
+    assert(rtDropped === 1L)
+
+    // sessionize: null ts among good rows
+    val ssIn = Files.createTempDirectory("nullss_in_").toString
+    val ssChk = Files.createTempDirectory("nullss_chk_").toString
+    val ssOut = Files.createTempDirectory("nullss_out_").toString
+    Files.writeString(Paths.get(ssIn, "b1.json"),
+      """{"key":4,"ts":"2025-01-01T10:00:00.000Z","v":1.0}
+        |{"key":4,"ts":null,"v":50.0}
+        |{"key":null,"ts":"2025-01-01T10:01:00.000Z","v":60.0}""".stripMargin)
+    def ssDrain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = Stateful.sessionize(
+          spark.readStream.schema(schema).json(ssIn),
+          "key", "ts", "v", gapMs = 10 * 60 * 1000)
+        .toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$ssOut/data")
+        }
+        .option("checkpointLocation", ssChk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val ssQ1 = ssDrain()
+    val ssDropped = ssQ1.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("graft_sessionize_dropped")))
+      .map(_.getAs[Long]("dropped_rows")).sum
+    assert(ssDropped === 2L) // one null ts + one null key
+    // close the session via watermark advance, then assert only the good row
+    Files.writeString(Paths.get(ssIn, "b2.json"),
+      """{"key":99,"ts":"2025-01-01T13:00:00.000Z","v":0.1}""")
+    ssDrain(); ssDrain()
+    val sess = spark.read.parquet(s"$ssOut/data")
+      .where(col("key") === 4).collect()
+    assert(sess.length === 1)
+    assert(sess.head.getAs[Long]("n") === 1 &&
+      sess.head.getAs[Double]("total") === 1.0)
+  }
+
   test("sessionizer: out-of-order merge extends session start backwards") {
     val in = Files.createTempDirectory("sessoo_in_").toString
     val chk = Files.createTempDirectory("sessoo_chk_").toString

@@ -164,6 +164,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fl.gunzipAll(gzDir, xmlOut, done, 8L) === 0)
   }
 
+  test("gunzipAll: within-batch output-name collision preserves the second archive") {
+    // x.gz and x.xml.gz both map to output x.xml. Pre-r10 the second
+    // extraction silently overwrote the first's payload and BOTH counted
+    // as extracted (this test fails on that code: extracted=2 and x.xml
+    // holds payload B). Now the first wins and the second is preserved
+    // unextracted as conflict_* in doneDir — lossless, recover manually.
+    val fl = new FileLifecycle(new Configuration())
+    val root = tmpDir("flcol_")
+    val fs = new Path(root).getFileSystem(new Configuration())
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("x.gz", "<payload>A</payload>")      // → x.xml
+    gz("x.xml.gz", "<payload>B</payload>")  // → x.xml too (collision)
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 11L) === 1)
+    // globStatus order is lexicographic: x.gz processed first, its
+    // payload must be intact — NOT overwritten by x.xml.gz
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "x.xml"))
+      === "<payload>A</payload>")
+    assert(fs.exists(new Path(done, "processed_11_x.gz")))
+    // the colliding archive is preserved UNEXTRACTED with payload intact
+    val conflict = new Path(done, "conflict_11_x.xml.gz")
+    assert(fs.exists(conflict))
+    val in = new java.util.zip.GZIPInputStream(fs.open(conflict))
+    val preserved = new String(in.readAllBytes()); in.close()
+    assert(preserved === "<payload>B</payload>")
+    // source dir drained; nothing to re-attempt next run
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 12L) === 0)
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
     val in = tmpDir("ddw_in_")
     val chk = tmpDir("ddw_chk_")

@@ -89,6 +89,43 @@ class XmlMeasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Double]("kpiValue") === 5.0)
   }
 
+  test("a good measType followed ONLY by a null-@p entry keeps its name") {
+    // The poison case for === inside the last-wins dedup: for the GOOD
+    // entry, exists() over the following slice sees only the null-@p
+    // entry — null === "1" is NULL, so exists returns NULL (no TRUE, one
+    // NULL), !NULL stays NULL, and filter() drops the good entry. One
+    // malformed trailing measType would UNKNOWN_-name every KPI before
+    // it. Null-safe <=> makes exists() return plain false. Fails on the
+    // pre-r10 === code.
+    val xml =
+      """<measCollecFile>
+        |<fileHeader><measCollec beginTime="t0"/></fileHeader>
+        |<measData><measInfo measInfoId="M">
+        |<measType p="1">GOOD_NAME</measType>
+        |<measType>TRAILING_NO_P</measType>
+        |<measValue measObjLdn="PLAIN"><r p="1">5</r></measValue>
+        |</measInfo></measData></measCollecFile>""".stripMargin
+    val rows = flat(xml).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("kpiName") === "GOOD_NAME")
+    assert(rows.head.getAs[Double]("kpiValue") === 5.0)
+  }
+
+  test("nodeid: second '=' inside the first measObjLdn field stops the capture") {
+    // split('=')[1].split(',')[0] on "eNodeB=N1=S2,Cell=7" is "N1" — the
+    // pre-r10 unanchored regex captured "N1=S2". Fails on that code.
+    val xml =
+      """<measCollecFile>
+        |<fileHeader><measCollec beginTime="t0"/></fileHeader>
+        |<measData><measInfo measInfoId="M">
+        |<measType p="1">A</measType>
+        |<measValue measObjLdn="eNodeB=N1=S2,Cell=7"><r p="1">1</r></measValue>
+        |</measInfo></measData></measCollecFile>""".stripMargin
+    val rows = flat(xml).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("nodeid") === "N1")
+  }
+
   test("multiple measInfo / measValue explode to the full cross of r rows") {
     val xml =
       """<measCollecFile>
