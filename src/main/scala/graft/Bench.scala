@@ -97,10 +97,9 @@ object Bench {
     // exactly what nulled the r3/r4 bench parses.
     GraftSession.close(spark) // release registry-cached standing frames
     spark.stop()
-    // calibEnd AFTER spark.stop (ADVICE r10): both probes now run in a
-    // Spark-free JVM — residual executor-thread/GC activity from a live
-    // session inflated the end probe and biased the >1.3× start/end
-    // contention signal toward false positives.
+    // calibEnd AFTER spark.stop: both probes run in a Spark-free JVM —
+    // residual executor/GC activity from a live session inflated the end
+    // probe, biasing the >1.3× contention signal toward false positives.
     val calibEnd = calibrate()
     val calibField = s""","calib_start_sec":${f3(calibStart)}""" +
       s""","calib_end_sec":${f3(calibEnd)}"""

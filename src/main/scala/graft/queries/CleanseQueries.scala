@@ -71,9 +71,8 @@ object CleanseQueries extends QueryPack {
     // ---- F10: nodeid extraction from measObjLdn ----
     "q24_nodeid_extract" -> ((s, d) => {
       // every 11th key carries a SECOND '=' inside the first field
-      // ("…NODE5=P2,Cell=…"): split('=')[1] ends there, so nodeid is
-      // "NODE5", not "NODE5=P2" — the oracle derives it independently
-      // via split_part, so a regex that over-captures hash-mismatches
+      // ("…NODE5=P2,…" → nodeid "NODE5", not "NODE5=P2"); the oracle
+      // derives nodeid independently via split_part
       val ldn = Tables.customer(s, d).select(
         concat(lit("eNodeB=NODE"), col("c_custkey") % 50,
           when(col("c_custkey") % 11 === 0, lit("=P2")).otherwise(lit("")),

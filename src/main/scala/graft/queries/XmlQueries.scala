@@ -29,9 +29,8 @@ object XmlQueries extends QueryPack {
         lit("<granPeriod duration=\"PT900S\" endTime=\"2025-04-13T10:15:00Z\"/>"),
         lit("<measType p=\"1\">KPI_ALPHA</measType>"),
         lit("<measType p=\"2\">KPI_BETA</measType>"),
-        // even keys carry a second '=' in the first field ("…NODE4=S1,…"):
-        // nodeid must still be NODE4 (split('=')[1] ends at the second
-        // '='); the oracle derives nodeid independently as 'NODE' || k
+        // even keys carry a second '=' in the first field ("…NODE4=S1,…"
+        // → nodeid NODE4); the oracle derives nodeid as 'NODE' || k
         lit("<measValue measObjLdn=\"eNodeB=NODE"), k,
         when(col("n_nationkey") % 2 === 0, lit("=S1")).otherwise(lit("")),
         lit(",Cell="), r, lit("\">"),

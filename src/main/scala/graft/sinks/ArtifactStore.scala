@@ -201,10 +201,8 @@ object ArtifactStore {
     * pressure, not artifact damage, so [[standing]] must not absorb it
     * into a rebuild. */
   private def fatalCause(e: Throwable): Boolean = {
-    // exhaustive, cycle-safe walk (ADVICE r10: a fixed depth cap would
-    // misclassify a deeper-wrapped fatal as artifact damage and rebuild
-    // under the same resource pressure); identity set guards the
-    // hand-built cause cycles Throwable permits
+    // exhaustive, cycle-safe walk (a fixed depth cap would misclassify a
+    // deeper-wrapped fatal as damage); identity set guards cause cycles
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
     Iterator.iterate(e)(_.getCause)
@@ -305,11 +303,9 @@ object ArtifactStore {
   private def forceLoaded(frames: DataFrame*): Unit =
     frames.foreach(_.count())
 
-  /** Run the tail of a load; if it throws, unpersist the frames the
-    * load has cached so far before rethrowing (ADVICE r10: the standing
-    * seam's rebuild path caches FRESH twins, so frames cached during
-    * the failed load would otherwise sit orphaned in the block manager
-    * for the life of the session). */
+  /** Run the tail of a load; if it throws, unpersist the frames cached
+    * so far before rethrowing — the rebuild path caches FRESH twins, so
+    * a failed load's frames would otherwise sit orphaned all session. */
   private def unpersistOnFailure[T](cached: DataFrame*)(body: => T): T =
     try body catch {
       case e: Throwable =>

@@ -123,13 +123,10 @@ final class FileLifecycle(conf: Configuration) {
     *
     * Collision detection is WITHIN-RUN only: `producedBy` is rebuilt per
     * invocation, so `x.gz` and `x.xml.gz` arriving in DIFFERENT runs are
-    * indistinguishable from legitimate re-delivery of the same file, and
-    * the later run overwrites `x.xml` (re-extraction semantics). The
-    * original archive survives in `doneDir` as `processed_*` either way,
-    * so the first payload is recoverable — but cross-run overwrite is
-    * not flagged. Accepted: distinguishing the two would need durable
-    * per-output provenance (sidecars), and the reference's uploads never
-    * mix the two suffixes for one stem (dags/Dag3.py:94-132). */
+    * indistinguishable from re-delivery and the later run overwrites
+    * `x.xml` (the archive survives as `processed_*` — recoverable, but
+    * unflagged). Accepted: flagging needs durable per-output provenance,
+    * and the reference never mixes the suffixes (dags/Dag3.py:94-132). */
   def gunzipAll(srcDir: Path, outDir: Path, doneDir: Path,
       nowMillis: Long): Int = {
     val sfs = fs(srcDir)

@@ -51,9 +51,7 @@ object Stateful {
       // replay then re-kills on every restart (one malformed record =
       // permanently wedged flow; cleansing routes such rows to the
       // dead-letter path upstream, q107). Null values fold to 0 per
-      // the NIL→0 cleansing contract. The drop is OBSERVED (per-batch
-      // `dropped_rows` in StreamingQueryProgress.observedMetrics) so
-      // attrition outside the dead-letter path is never silent.
+      // the NIL→0 contract. Drops are observed (dropped_rows metric).
       .observe("graft_sessionize_dropped",
         sum(when(col("_1").isNull || col("_2").isNull, 1L).otherwise(0L))
           .as("dropped_rows"))

@@ -1,0 +1,41 @@
+#!/bin/sh
+# Round-end snapshot gate — run LAST each round, after the final
+# certification commit and BEFORE the driver's end-of-round snapshot
+# commit sweeps up whatever is left in the working tree.
+#
+#     tools/round_end.sh [repo_root]
+#
+# The r10 verdict's process finding: the snapshot commit carried
+# +135/−87 lines of src/main behavior changes that landed AFTER the
+# round-end certification, so the published round numbers described a
+# tree those changes weren't on. Enforcement: at round end the working
+# tree may carry ONLY documentation (*.md) — any uncommitted src/ or
+# tools/ change means uncertified code would ride the snapshot commit,
+# and this gate exits 1. Fix: land the change, re-run the certification
+# (full ScalaTest suite + certify_means + Verify+oracle at sf0.1 +
+# Bench), commit, THEN snapshot.
+#
+# Also prints the non-test src/main LoC and the net vs a base rev
+# (default: the previous round's verdict commit is not discoverable
+# here, so pass it explicitly) for the BASELINE.md round row.
+set -u
+root="${1:-$(dirname "$0")/..}"
+cd "$root" || exit 2
+
+rc=0
+# porcelain paths: staged, unstaged, and untracked alike
+bad=$(git status --porcelain | awk '{print $NF}' \
+    | grep -E '^(src/|tools/|build\.sbt)' | grep -v '\.md$' || true)
+if [ -n "$bad" ]; then
+    echo "== round-end gate: FAILED — uncommitted code would ride the snapshot commit:" >&2
+    echo "$bad" | sed 's/^/==   /' >&2
+    echo "== land it, re-certify (tests + certify_means + sf0.1 Verify + Bench), commit, then snapshot" >&2
+    rc=1
+else
+    echo "== round-end gate: working tree carries no uncommitted code (docs only) — snapshot is safe"
+fi
+
+loc=$(find src/main -name '*.scala' -exec cat {} + | wc -l)
+tools_loc=$(cat tools/*.py tools/*.sh 2>/dev/null | wc -l)
+echo "== src/main LoC: $loc (tools: $tools_loc) — record the net vs last round in BASELINE.md's round row"
+exit "$rc"
