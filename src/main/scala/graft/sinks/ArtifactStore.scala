@@ -309,7 +309,14 @@ object ArtifactStore {
   private def unpersistOnFailure[T](cached: DataFrame*)(body: => T): T =
     try body catch {
       case e: Throwable =>
-        cached.foreach(_.unpersist(false)); throw e
+        // cleanup must never REPLACE the load failure: the standing
+        // seam classifies e (fatal vs damage), and an unpersist throw
+        // on a distressed context would invert that classification
+        cached.foreach { f =>
+          try f.unpersist(false)
+          catch { case scala.util.control.NonFatal(u) => e.addSuppressed(u) }
+        }
+        throw e
     }
 
   // ---- Corpus bloom (q101's exact-dedup prefilter) ------------------

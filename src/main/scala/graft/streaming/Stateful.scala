@@ -40,7 +40,10 @@ object Stateful {
     * append mode. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, gapMs: Long,
-      watermarkDelay: String = "1 minute"): Dataset[Session] = {
+      watermarkDelay: String = "1 minute",
+      // observed-metric names must be unique per query — override when
+      // composing two instances in one plan (checkAnalysis rejects dups)
+      metricName: String = "graft_sessionize_dropped"): Dataset[Session] = {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
         col(tsCol).cast("timestamp").as("_2"),
@@ -52,7 +55,7 @@ object Stateful {
       // permanently wedged flow; cleansing routes such rows to the
       // dead-letter path upstream, q107). Null values fold to 0 per
       // the NIL→0 contract. Drops are observed (dropped_rows metric).
-      .observe("graft_sessionize_dropped",
+      .observe(metricName,
         sum(when(col("_1").isNull || col("_2").isNull, 1L).otherwise(0L))
           .as("dropped_rows"))
       .filter(col("_1").isNotNull && col("_2").isNotNull)
@@ -97,13 +100,13 @@ object Stateful {
   /** Accumulate count+sum per key across micro-batches. Emits the
     * updated totals for every key touched in the batch (update-mode
     * semantics; pair with foreachBatch or an update-mode sink). */
-  def runningTotals(df: DataFrame, keyCol: String,
-      valCol: String): Dataset[KeyedTotals] = {
+  def runningTotals(df: DataFrame, keyCol: String, valCol: String,
+      metricName: String = "graft_totals_dropped"): Dataset[KeyedTotals] = {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
         coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
       // see sessionize: null key = poison pill; drop is observed
-      .observe("graft_totals_dropped",
+      .observe(metricName,
         sum(when(col("_1").isNull, 1L).otherwise(0L)).as("dropped_rows"))
       .filter(col("_1").isNotNull)
       .as[(Long, Double)]
@@ -127,13 +130,13 @@ object Stateful {
     * `spark.sql.streaming.stateStore.providerClass` =
     * RocksDBStateStoreProvider on the running session (the TWS operator
     * rejects the default HDFS-backed store). */
-  def runningTotalsTws(df: DataFrame, keyCol: String,
-      valCol: String): Dataset[KeyedTotals] = {
+  def runningTotalsTws(df: DataFrame, keyCol: String, valCol: String,
+      metricName: String = "graft_totals_tws_dropped"): Dataset[KeyedTotals] = {
     import df.sparkSession.implicits._
     df.select(col(keyCol).cast("long").as("_1"),
         coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
       // see sessionize: null key = poison pill; drop is observed
-      .observe("graft_totals_tws_dropped",
+      .observe(metricName,
         sum(when(col("_1").isNull, 1L).otherwise(0L)).as("dropped_rows"))
       .filter(col("_1").isNotNull)
       .as[(Long, Double)]

@@ -9,30 +9,32 @@
 # +135/−87 lines of src/main behavior changes that landed AFTER the
 # round-end certification, so the published round numbers described a
 # tree those changes weren't on. Enforcement: at round end the working
-# tree may carry ONLY documentation (*.md) — any uncommitted src/ or
-# tools/ change means uncertified code would ride the snapshot commit,
-# and this gate exits 1. Fix: land the change, re-run the certification
+# tree may carry ONLY documentation (*.md) — ANY other uncommitted path
+# (src, tools, build files, scripts, driver artifacts) means content
+# the certification did not cover would ride the snapshot commit, and
+# this gate exits 1. Fix: land the change, re-run the certification
 # (full ScalaTest suite + certify_means + Verify+oracle at sf0.1 +
 # Bench), commit, THEN snapshot.
 #
-# Also prints the non-test src/main LoC and the net vs a base rev
-# (default: the previous round's verdict commit is not discoverable
-# here, so pass it explicitly) for the BASELINE.md round row.
+# Also prints the non-test src/main LoC for the BASELINE.md round row.
 set -u
 root="${1:-$(dirname "$0")/..}"
 cd "$root" || exit 2
 
 rc=0
-# porcelain paths: staged, unstaged, and untracked alike
-bad=$(git status --porcelain | awk '{print $NF}' \
-    | grep -E '^(src/|tools/|build\.sbt)' | grep -v '\.md$' || true)
+# Porcelain v1: two status columns + space, path starts at column 4.
+# cut (not awk) keeps paths with spaces intact; quoted paths end in a
+# quote and so fail the .md allow-test — conservatively flagged. A
+# rename line exposes "old -> new", so a non-md on EITHER side fails.
+bad=$(git status --porcelain | cut -c4- \
+    | grep -v -E '^"?[^"]*\.md"?( -> "?[^"]*\.md"?)?$' || true)
 if [ -n "$bad" ]; then
-    echo "== round-end gate: FAILED — uncommitted code would ride the snapshot commit:" >&2
+    echo "== round-end gate: FAILED — uncommitted non-doc content would ride the snapshot commit:" >&2
     echo "$bad" | sed 's/^/==   /' >&2
     echo "== land it, re-certify (tests + certify_means + sf0.1 Verify + Bench), commit, then snapshot" >&2
     rc=1
 else
-    echo "== round-end gate: working tree carries no uncommitted code (docs only) — snapshot is safe"
+    echo "== round-end gate: working tree carries no uncommitted non-doc content — snapshot is safe"
 fi
 
 loc=$(find src/main -name '*.scala' -exec cat {} + | wc -l)
