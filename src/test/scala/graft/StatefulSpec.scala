@@ -276,6 +276,28 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, 3L, 7.0, "2025-01-01T11:42:00Z", "2025-01-01T12:00:00Z")))
   }
 
+  test("observe-name override lets two Stateful instances compose in one plan") {
+    // Two instances of one helper in a single plan carry two
+    // CollectMetrics nodes; checkAnalysis rejects duplicate metric
+    // names over different children, so the fixed default names made
+    // the helpers non-composable. metricName exists exactly for this.
+    import spark.implicits._
+    val a = Seq((1L, 2.0), (1L, 3.0)).toDF("key", "v")
+    val b = Seq((2L, 10.0)).toDF("key", "v")
+    // analysis is eager at union(): the duplicate name throws here
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Stateful.runningTotals(a, "key", "v").toDF
+        .union(Stateful.runningTotals(b, "key", "v").toDF)
+        .collect()
+    }
+    val ok = Stateful.runningTotals(a, "key", "v").toDF
+      .union(Stateful.runningTotals(b, "key", "v",
+        metricName = "graft_totals_dropped_b").toDF)
+    assert(ok.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      === Set((1L, 2L, 5.0), (2L, 1L, 10.0)))
+  }
+
   test("flatMapGroupsWithState sessionizer emits completed sessions on gap/timeout") {
     val in = Files.createTempDirectory("sess_in_").toString
     val chk = Files.createTempDirectory("sess_chk_").toString

@@ -23,9 +23,11 @@ cd "$root" || exit 2
 
 rc=0
 # Porcelain v1: two status columns + space, path starts at column 4.
-# cut (not awk) keeps paths with spaces intact; quoted paths end in a
-# quote and so fail the .md allow-test — conservatively flagged. A
-# rename line exposes "old -> new", so a non-md on EITHER side fails.
+# cut (not awk) keeps paths with spaces intact. Git-quoted paths keep
+# their surrounding quotes, which the optional "? arms accept, so
+# "a b.md" still counts as docs; an embedded escape (\" in the name)
+# breaks [^"]* and is conservatively flagged. A rename line exposes
+# "old -> new", so a non-md on EITHER side fails.
 bad=$(git status --porcelain | cut -c4- \
     | grep -v -E '^"?[^"]*\.md"?( -> "?[^"]*\.md"?)?$' || true)
 if [ -n "$bad" ]; then
