@@ -20,9 +20,12 @@ import java.util.zip.GZIPInputStream
   * backup/dedup/audit semantics, driven from `foreachBatch` where
   * volumes are bounded by `maxFilesPerTrigger` (SURVEY §7.4 #4).
   */
-final class FileLifecycle(conf: Configuration) {
+class FileLifecycle(conf: Configuration) {
 
-  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+  /** FS resolution seam: specs override it to inject rename/IO faults
+    * (Hadoop rename reports failure as FALSE, so the degraded branches
+    * are unreachable through a healthy local FS). */
+  protected def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
   /** md5 hex of a file's content (streamed — constant memory). */
   def contentMd5(file: Path): String = {
@@ -126,7 +129,11 @@ final class FileLifecycle(conf: Configuration) {
     * indistinguishable from re-delivery and the later run overwrites
     * `x.xml` (the archive survives as `processed_*` — recoverable, but
     * unflagged). Accepted: flagging needs durable per-output provenance,
-    * and the reference never mixes the suffixes (dags/Dag3.py:94-132). */
+    * and the reference never mixes the suffixes (dags/Dag3.py:94-132).
+    * A DETECTED collision, though, must never degrade into that same
+    * silent overwrite: if preserving the archive in `doneDir` fails
+    * (rename false, e.g. cross-FS), it is parked under a non-`.gz` name
+    * in `srcDir` so the next run cannot pick it up undetected. */
   def gunzipAll(srcDir: Path, outDir: Path, doneDir: Path,
       nowMillis: Long): Int = {
     val sfs = fs(srcDir)
@@ -153,10 +160,24 @@ final class FileLifecycle(conf: Configuration) {
           log.error(s"$name collides with ${producedBy(outName)} on " +
             s"output $outName — preserved unextracted as $conflicted; " +
             "recover it manually")
-        else
-          log.error(s"$name collides with ${producedBy(outName)} on " +
-            s"output $outName AND the conflict rename to $conflicted " +
-            "returned false — it remains in the source dir")
+        else {
+          // left in srcDir the archive would extract WITHOUT collision
+          // detection next run (its sibling is already processed_*) and
+          // silently replace the first payload — park it under a
+          // non-.gz name in srcDir instead (same-FS rename; the *.gz
+          // glob skips it) and only fail the run if even that fails
+          val parked = new Path(srcDir, s"conflict_${nowMillis}_$name.hold")
+          if (sfs.rename(st.getPath, parked))
+            log.error(s"$name collides with ${producedBy(outName)} on " +
+              s"output $outName and the rename to $conflicted returned " +
+              s"false — parked as $parked; recover it manually")
+          else
+            throw new java.io.IOException(
+              s"$name collides with ${producedBy(outName)} on output " +
+              s"$outName and both preservation renames ($conflicted, " +
+              s"$parked) returned false — failing loudly rather than " +
+              "letting the next run silently overwrite the extraction")
+        }
       } else {
         val staged = new Path(outDir, s".${outName}.__extracting")
         val ok =

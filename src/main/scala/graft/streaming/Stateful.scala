@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state (SURVEY.md §2.8 ST10 — greenfield relative to
@@ -55,8 +55,11 @@ object Stateful {
       // permanently wedged flow; cleansing routes such rows to the
       // dead-letter path upstream, q107). Null values fold to 0 per
       // the NIL→0 contract. Drops are observed (dropped_rows metric).
+      // count(when(...)), not sum: a zero-input micro-batch (routine
+      // for watermark/timer-only triggers) still emits the metric row,
+      // and count reads 0 there where sum reads NULL
       .observe(metricName,
-        sum(when(col("_1").isNull || col("_2").isNull, 1L).otherwise(0L))
+        count(when(col("_1").isNull || col("_2").isNull, lit(1)))
           .as("dropped_rows"))
       .filter(col("_1").isNotNull && col("_2").isNotNull)
       .withWatermark("_2", watermarkDelay)
@@ -97,19 +100,27 @@ object Stateful {
       }
   }
 
+  /** Shared totals prelude: cast to (key, value), observe null-key
+    * drops (see sessionize: null key = poison pill; count() so a
+    * zero-input micro-batch reads 0, not sum's NULL), filter them. */
+  private def keyedVals(df: DataFrame, keyCol: String, valCol: String,
+      metricName: String): Dataset[(Long, Double)] = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("long").as("_1"),
+        coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
+      .observe(metricName,
+        count(when(col("_1").isNull, lit(1))).as("dropped_rows"))
+      .filter(col("_1").isNotNull)
+      .as[(Long, Double)]
+  }
+
   /** Accumulate count+sum per key across micro-batches. Emits the
     * updated totals for every key touched in the batch (update-mode
     * semantics; pair with foreachBatch or an update-mode sink). */
   def runningTotals(df: DataFrame, keyCol: String, valCol: String,
       metricName: String = "graft_totals_dropped"): Dataset[KeyedTotals] = {
     import df.sparkSession.implicits._
-    df.select(col(keyCol).cast("long").as("_1"),
-        coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
-      // see sessionize: null key = poison pill; drop is observed
-      .observe(metricName,
-        sum(when(col("_1").isNull, 1L).otherwise(0L)).as("dropped_rows"))
-      .filter(col("_1").isNotNull)
-      .as[(Long, Double)]
+    keyedVals(df, keyCol, valCol, metricName)
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), KeyedTotals](
         GroupStateTimeout.NoTimeout) {
@@ -133,13 +144,7 @@ object Stateful {
   def runningTotalsTws(df: DataFrame, keyCol: String, valCol: String,
       metricName: String = "graft_totals_tws_dropped"): Dataset[KeyedTotals] = {
     import df.sparkSession.implicits._
-    df.select(col(keyCol).cast("long").as("_1"),
-        coalesce(col(valCol).cast("double"), lit(0.0)).as("_2"))
-      // see sessionize: null key = poison pill; drop is observed
-      .observe(metricName,
-        sum(when(col("_1").isNull, 1L).otherwise(0L)).as("dropped_rows"))
-      .filter(col("_1").isNotNull)
-      .as[(Long, Double)]
+    keyedVals(df, keyCol, valCol, metricName)
       .groupByKey(_._1)
       .transformWithState(new TotalsProcessor, TimeMode.None(),
         OutputMode.Update())

@@ -198,6 +198,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fl.gunzipAll(gzDir, xmlOut, done, 12L) === 0)
   }
 
+  test("gunzipAll: collision whose doneDir preservation rename fails is parked, not re-extracted next run") {
+    // If the conflict_* rename to doneDir returns false and the archive
+    // simply stayed in srcDir, the NEXT run would see no collision (the
+    // sibling is already processed_*) and silently overwrite x.xml —
+    // this test fails on that code. Now the archive is parked under a
+    // non-.gz name in srcDir, which the *.gz glob skips.
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      // fault injection through the FS seam: doneDir conflict renames
+      // report failure (Hadoop semantics: FALSE, not an exception)
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def rename(src: Path, dst: Path): Boolean =
+            if (dst.getName.startsWith("conflict_") &&
+                !dst.getName.endsWith(".hold")) false
+            else super.rename(src, dst)
+        }
+    }
+    val root = tmpDir("flpark_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("x.gz", "<payload>A</payload>")
+    gz("x.xml.gz", "<payload>B</payload>")
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 21L) === 1)
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "x.xml"))
+      === "<payload>A</payload>")
+    // doneDir rename failed → parked in srcDir under a .hold name,
+    // payload intact
+    assert(!fs.exists(new Path(done, "conflict_21_x.xml.gz")))
+    val parked = new Path(gzDir, "conflict_21_x.xml.gz.hold")
+    assert(fs.exists(parked))
+    val in = new java.util.zip.GZIPInputStream(fs.open(parked))
+    val preserved = new String(in.readAllBytes()); in.close()
+    assert(preserved === "<payload>B</payload>")
+    // next run: the parked file is NOT picked up, the extraction stands
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 22L) === 0)
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "x.xml"))
+      === "<payload>A</payload>")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
     val in = tmpDir("ddw_in_")
     val chk = tmpDir("ddw_chk_")

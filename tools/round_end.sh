@@ -23,13 +23,15 @@ cd "$root" || exit 2
 
 rc=0
 # Porcelain v1: two status columns + space, path starts at column 4.
-# cut (not awk) keeps paths with spaces intact. Git-quoted paths keep
-# their surrounding quotes, which the optional "? arms accept, so
-# "a b.md" still counts as docs; an embedded escape (\" in the name)
-# breaks [^"]* and is conservatively flagged. A rename line exposes
-# "old -> new", so a non-md on EITHER side fails.
+# cut (not awk) keeps paths with spaces intact. Each side of a rename
+# must independently be .md: an UNQUOTED path never contains a space
+# (git quotes those), so the [^ "] arm cannot eat across the " -> "
+# separator (an unanchored [^"]* would let "foo.sh -> notes.md" pass
+# as one pseudo-path); the quoted arm accepts "a b.md", and an
+# embedded escape (\" in the name) is conservatively flagged.
+md='("[^"]*\.md"|[^ "]*\.md)'
 bad=$(git status --porcelain | cut -c4- \
-    | grep -v -E '^"?[^"]*\.md"?( -> "?[^"]*\.md"?)?$' || true)
+    | grep -v -E "^${md}( -> ${md})?\$" || true)
 if [ -n "$bad" ]; then
     echo "== round-end gate: FAILED — uncommitted non-doc content would ride the snapshot commit:" >&2
     echo "$bad" | sed 's/^/==   /' >&2
