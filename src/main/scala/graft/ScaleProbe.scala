@@ -194,15 +194,21 @@ object ScaleProbe {
       val sh = docs
         .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
         .filter(size(col("h")) > 0)
-        .select(col("doc_id"), col("h"),
+        // fingerprints need the POSITIONAL hashes; the verify join needs
+        // the DISTINCT set — q37 applies array_distinct before jaccard
+        // (DedupQueries), and the IntersectSizeLong kernel's contract is
+        // distinct-element arrays (a repeated shingle would pair up in
+        // the merge count and inflate the pseudo-Jaccard past what
+        // size(array_intersect(..)) computes)
+        .select(col("doc_id"), array_distinct(col("h")).as("hd"),
           TextAnalysis.fingerprintsFromHashes(col("h"), 4).as("fp"))
       sh.cache(); sh.count()
       try {
         val cand = Dedup.pairsFromBuckets(
           sh.select(col("doc_id"), explode(col("fp")).as("f")), Seq("f"), "doc_id")
         cand
-          .join(sh.select(col("doc_id").as("a_id"), col("h").as("ha")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("h").as("hb")), "b_id")
+          .join(sh.select(col("doc_id").as("a_id"), col("hd").as("ha")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("hd").as("hb")), "b_id")
           .filter(Dedup.sizeRatioGuard(col("ha"), col("hb"), 0.8))
           .filter(Dedup.jaccard(col("ha"), col("hb")) >= 0.8)
           .count()

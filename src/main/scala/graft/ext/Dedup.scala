@@ -75,8 +75,11 @@ object Dedup {
     // rows = 0, so EVERY doc hashes an empty slice into one identical
     // bucket per band, which the hot-bucket guard then drops wholesale:
     // zero pairs returned, no error, all duplicates silently missed.
-    require(bands >= 1 && k % bands == 0,
-      s"bands ($bands) must divide the signature length k ($k)")
+    // k >= 1 too: k = 0 satisfies 0 % bands == 0 but makes rows = 0 —
+    // the same empty-slice constant-bucket failure the divide check
+    // exists to prevent
+    require(k >= 1 && bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k), k >= 1")
     val rows = k / bands
     array((0 until bands).map { b =>
       Hashing.md5Long(concat_ws(",",
@@ -155,9 +158,20 @@ object Dedup {
     * Sign-safe for full-width signatures: unsigned shift + bit mask
     * (an arithmetic shift of a negative 64-bit simhash followed by `%`
     * would yield negative chunk keys). */
-  def simhashChunks(sh: Column, chunkBits: Int, nChunks: Int): Column =
+  def simhashChunks(sh: Column, chunkBits: Int, nChunks: Int): Column = {
+    // Fail fast on chunks that overrun the 64-bit signature space: a
+    // shift distance >= 64 wraps (JVM shifts mod 64) and a 64-bit mask
+    // computes as 0 — either way entire chunks silently become the
+    // CONSTANT key 0 for every doc (one mega-bucket per overrun chunk:
+    // O(n²) candidates below maxBucket, zero recall from those chunks
+    // above it). Same degenerate-parameter class as lshBandHashes.
+    require(chunkBits >= 1 && chunkBits <= 63 && nChunks >= 1 &&
+        chunkBits.toLong * nChunks <= 64,
+      s"simhashChunks: $nChunks chunks x $chunkBits bits must fit in " +
+        "the 64-bit signature (chunkBits in 1..63)")
     array((0 until nChunks).map(c =>
       shiftrightunsigned(sh, c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))): _*)
+  }
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

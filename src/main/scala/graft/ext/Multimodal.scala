@@ -108,7 +108,6 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val h = MediaCodec.md5Long(r.content)
       (0 until n).map(i => Frame(r.media_id, i,
         // per-frame hash: re-hash content with the frame index appended
         MediaCodec.md5Long(r.content ++ i.toString.getBytes("UTF-8"))))

@@ -68,8 +68,18 @@ object Similarity {
     // fast rather than widen the id type under every consumer.
     require(planes >= 1 && planes <= 30,
       s"lshBucket supports 1..30 planes (Int bucket ids), got $planes")
+    // No otherwise(0): a null projection (null/wrong-length embedding,
+    // or the all-null normalized array a zero-norm vector produces)
+    // must yield a NULL bucket, not bucket 0 — the otherwise() arm
+    // piled every malformed row into one hot bucket shared with the
+    // legit all-negative-sign vectors, where the degenerate-bucket cap
+    // could then drop them ALL silently. A NULL bucket never matches an
+    // equi-join probe, so malformed rows simply produce no candidates —
+    // the same outcome the brute-force baseline gives them (null
+    // cosine), with no collateral recall loss.
     (0 until planes).map { p =>
-      when(dot(emb, planeLit(p, dims)) >= 0, lit(1 << p)).otherwise(lit(0))
+      val d = dot(emb, planeLit(p, dims))
+      when(d >= 0, lit(1 << p)).when(d < 0, lit(0))
     }.reduce(_ + _).cast("int")
   }
 

@@ -79,13 +79,19 @@ object TextAnalysis {
     * ties broken by [[LangOrder]] preference (deterministic). */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scores = LangOrder.map(l => l -> stopwordHits(toks, Stopwords(l)))
-    // case chain in preference order: first lang whose score is >= all others
-    scores.zipWithIndex.foldRight(lit(LangOrder.last)) {
-      case (((lang, score), _), rest) =>
-        val others = scores.collect { case (l2, s2) if l2 != lang => s2 }
-        when(others.map(score >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    // argmax via array_max over (score, -preferenceIdx, lang) structs:
+    // identical winner to the preference-ordered when-chain it replaced
+    // (highest score; ties -> earliest in LangOrder), but each
+    // language's stopwordHits is evaluated exactly ONCE. The chain
+    // referenced every score in up to 2*(langs-1) comparison sites, and
+    // each reference re-ran the tokenize+scan HOF pipeline per row —
+    // HOFs stay interpreted (no codegen/CSE rescue), the same
+    // Catalyst-inlining trap fingerprintsFromHashes documents below.
+    val entries = LangOrder.zipWithIndex.map { case (l, i) =>
+      struct(stopwordHits(toks, Stopwords(l)).as("s"),
+        lit(-i).as("p"), lit(l).as("lang"))
     }
+    array_max(array(entries: _*)).getField("lang")
   }
 
   /** Hashes of `n`-token shingles (order-sensitive), engine-portable via

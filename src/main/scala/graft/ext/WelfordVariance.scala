@@ -9,7 +9,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * M2) merges associatively, so partial aggregation works map-side and
   * across shuffle — the property any distributed sketch needs.
   * Matches `var_samp` semantics (spec-verified against the built-in). */
-object WelfordVariance extends Aggregator[Double, (Long, Double, Double), Double] {
+object WelfordVariance
+    extends Aggregator[Double, (Long, Double, Double), java.lang.Double] {
 
   override def zero: (Long, Double, Double) = (0L, 0.0, 0.0)
 
@@ -35,11 +36,16 @@ object WelfordVariance extends Aggregator[Double, (Long, Double, Double), Double
     }
   }
 
-  override def finish(b: (Long, Double, Double)): Double =
-    if (b._1 < 2) Double.NaN else b._3 / (b._1 - 1)
+  // NULL (not NaN) below two samples: var_samp returns NULL there
+  // (spark.sql.legacy.statisticalAggregate=false, the default, and
+  // DuckDB agrees), and the header's parity claim has to hold on
+  // singleton groups too — NaN would also poison downstream arithmetic
+  // where NULL propagates as absence
+  override def finish(b: (Long, Double, Double)): java.lang.Double =
+    if (b._1 < 2) null else b._3 / (b._1 - 1)
 
   override def bufferEncoder: Encoder[(Long, Double, Double)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
 
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

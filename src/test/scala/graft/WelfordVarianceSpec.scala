@@ -29,11 +29,18 @@ class WelfordVarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("n<2 yields NaN; singleton and empty behave") {
+  test("n<2 yields NULL like var_samp; singleton and empty behave") {
+    // var_samp(singleton) is NULL (legacy.statisticalAggregate=false,
+    // the default — DuckDB agrees); the parity claim must hold at n=1
+    // too, and NULL propagates as absence where NaN poisons arithmetic
     val one = Seq(1L -> 5.0).toDF("k", "v").as[(Long, Double)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(WelfordVariance.toColumn.name("wv")).collect()
-    assert(one.head._2.isNaN)
+    assert(one.head._2 == null)
+    val builtin = Seq(1L -> 5.0).toDF("k", "v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.var_samp("v"))
+      .collect()
+    assert(builtin.head.isNullAt(1))
     // zero-count PARTIAL state: 2 rows spread over 8 partitions force
     // merges with empty accumulators — n=0 state must merge as identity
     // (var_samp({5,7}) = 2 exactly), not crash or skew the result
