@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.ext.{Dedup, Hashing, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,13 +26,26 @@ import org.apache.spark.sql.functions._
   * precisely because each stage shrinks the input to the next. */
 object CurationQueries extends QueryPack {
 
-  private val QualityMin = 0.55
-  private val K = 16
-  private val Bands = 4
+  // Quality gate in integer BASIS POINTS of the raw score
+  // (floor(raw*10000) >= 5500, q92/q100's convention): gating on the
+  // ROUNDED score compared a round(x,4) double, the half-boundary
+  // rounding TextAnalysis documents as non-portable (~1 doc in 500
+  // flips its 4th decimal between engines); the floored integer of the
+  // bit-identical raw chain cannot flip.
+  private val QualityMinBp = 5500L
+  private val QualityLabel = s"quality_ge_${QualityMinBp / 10000.0}"
   private val SplitSeed = 13  // hash-family seed for the train/val/test split
   private val QuotaSeed = 17  // independent seed for quota sampling
   private val SampleSeed = 23 // independent seed for weighted sampling (q92)
   private val Quota = 20      // max docs kept per source domain
+
+  /** Deterministic 80/10/10 split assignment (seeded hash mod 100 —
+    * stable across partitionings, unlike seeded rand()); ONE definition
+    * shared by q66 and q72 so the fractions/seed cannot drift apart. */
+  private def splitCol: Column = {
+    val h = Hashing.md5Long(SplitSeed, col("doc_id").cast("string")) % 100
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
   private val PackBudget = 256 // token budget per training sequence (q68)
   private val DeconN = 4       // decontamination n-gram length (q70)
   private val EvalMod = 97     // doc_id % EvalMod == 0 marks the held-out eval set
@@ -60,16 +73,18 @@ object CurationQueries extends QueryPack {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("predicted", TextAnalysis.langId(col("text")))
-      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("qbp",
+        floor(TextAnalysis.qualityScoreRaw(col("text")) * 10000).cast("long"))
       .cache()
     val langKeep = docs.filter(col("predicted") === "en")
-    val qualKeep = langKeep.filter(col("q") >= QualityMin)
+    val qualKeep = langKeep.filter(col("qbp") >= QualityMinBp)
     val exactKeep = qualKeep
       .withColumn("minid",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
       .filter(col("doc_id") === col("minid")).drop("minid")
     val (pairs, sh) = Dedup.minhashLshPairsWithLineage(exactKeep, "doc_id",
-      "text", shingleN = 3, k = K, bands = Bands, threshold = 0.8)
+      "text", shingleN = 3, k = DedupQueries.K, bands = DedupQueries.Bands,
+      threshold = 0.8)
     val labels = Dedup.connectedComponents(pairs.select(col("a_id"), col("b_id")))
       .withColumnRenamed("id", "doc_id")
     val nearKeep = exactKeep.join(labels, Seq("doc_id"), "left")
@@ -82,12 +97,12 @@ object CurationQueries extends QueryPack {
   private def funnelCtes: String = {
     val (scoreCols, caseExpr) = TextQueries.predictedSql
     s"""scored AS (SELECT doc_id, text,
-       |    ${TextQueries.qualitySql} AS q,
+       |    CAST(floor(${TextQueries.qualitySqlRaw} * 10000) AS BIGINT) AS qbp,
        |$scoreCols
        |  FROM documents),
-       |base AS (SELECT doc_id, text, q, $caseExpr AS predicted FROM scored),
+       |base AS (SELECT doc_id, text, qbp, $caseExpr AS predicted FROM scored),
        |lk AS (SELECT * FROM base WHERE predicted = 'en'),
-       |qk AS (SELECT * FROM lk WHERE q >= $QualityMin),
+       |qk AS (SELECT * FROM lk WHERE qbp >= $QualityMinBp),
        |ek AS (SELECT doc_id, text FROM (
        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mid
        |  FROM qk) t WHERE doc_id = mid),
@@ -120,7 +135,7 @@ object CurationQueries extends QueryPack {
       val (docs, langKeep, qualKeep, exactKeep, nearKeep) = funnelFrames(s, d)
       val stages = Seq(
         (0, "raw", docs), (1, "lang_en", langKeep),
-        (2, s"quality_ge_$QualityMin", qualKeep),
+        (2, QualityLabel, qualKeep),
         (3, "exact_dedup", exactKeep), (4, "near_dup_canonical", nearKeep))
       stages.map { case (i, name, df) =>
         df.agg(count(lit(1)).as("n_docs"))
@@ -135,10 +150,8 @@ object CurationQueries extends QueryPack {
     //      3-row partial aggregate. The standard alternative (rand()
     //      with a seed) is NOT stable across partitionings. ----
     "q66_data_split" -> ((s, d) => {
-      val h = Hashing.md5Long(SplitSeed, col("doc_id").cast("string")) % 100
       Tables.documents(s, d)
-        .withColumn("split",
-          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .withColumn("split", splitCol)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"))
@@ -228,11 +241,9 @@ object CurationQueries extends QueryPack {
     //      per-split report sums shard counts; every sum is integer. ----
     "q72_corpus_build" -> ((s, d) => {
       val (_, _, _, _, nearKeep) = funnelFrames(s, d)
-      val h = Hashing.md5Long(SplitSeed, col("doc_id").cast("string")) % 100
       val packs = packFold
       nearKeep
-        .withColumn("split",
-          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .withColumn("split", splitCol)
         .select(col("split"), col("source"), col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("toks"))
         .groupBy(col("split"), col("source"))
@@ -347,14 +358,14 @@ object CurationQueries extends QueryPack {
       s"""WITH RECURSIVE $funnelCtes
          |SELECT 0 AS stage, 'raw' AS name, count(*) AS n_docs FROM documents
          |UNION ALL SELECT 1, 'lang_en', count(*) FROM lk
-         |UNION ALL SELECT 2, 'quality_ge_$QualityMin', count(*) FROM qk
+         |UNION ALL SELECT 2, '$QualityLabel', count(*) FROM qk
          |UNION ALL SELECT 3, 'exact_dedup', count(*) FROM ek
          |UNION ALL SELECT 4, 'near_dup_canonical', count(*) FROM nk
          |ORDER BY stage""".stripMargin,
 
     "q66_data_split" ->
       s"""WITH hx AS (SELECT n_chars,
-         |    ('0x' || substr(md5('$SplitSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+         |    ${DedupQueries.h(s"'$SplitSeed|' || doc_id::VARCHAR")} % 100 AS hh
          |  FROM documents),
          |sx AS (SELECT CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
          |    ELSE 'test' END AS split, n_chars FROM hx)
@@ -363,7 +374,7 @@ object CurationQueries extends QueryPack {
 
     "q67_domain_quota" ->
       s"""WITH hx AS (SELECT source, doc_id, n_chars,
-         |    ('0x' || substr(md5('$QuotaSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |    ${DedupQueries.h(s"'$QuotaSeed|' || doc_id::VARCHAR")} AS h
          |  FROM documents),
          |rk AS (SELECT source, n_chars, row_number() OVER (
          |    PARTITION BY source ORDER BY h, doc_id) AS rk FROM hx)
@@ -398,7 +409,7 @@ object CurationQueries extends QueryPack {
          |      i -> array_to_string(tk[i:i+${DeconN - 1}], ' '))
          |    ELSE []::VARCHAR[] END)) AS s FROM dd),
          |hs AS (SELECT doc_id, source,
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+         |    ${DedupQueries.h("s")} AS h FROM sh),
          |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id % $EvalMod = 0),
          |tr AS (SELECT source FROM documents WHERE doc_id % $EvalMod != 0),
          |ct AS (SELECT DISTINCT hs.doc_id, hs.source FROM hs JOIN ev USING (h)
@@ -419,7 +430,7 @@ object CurationQueries extends QueryPack {
          |    CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |  FROM (SELECT *,
-         |    ('0x' || substr(md5('$SplitSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+         |    ${DedupQueries.h(s"'$SplitSeed|' || doc_id::VARCHAR")} % 100 AS hh
          |    FROM sv) t),
          |g AS (SELECT split, source, count(*) AS nd,
          |    CAST(sum(toks) AS BIGINT) AS nt,
@@ -439,7 +450,7 @@ object CurationQueries extends QueryPack {
          |    CAST(floor(${TextQueries.qualitySqlRaw} * 10000) AS BIGINT) AS thr
          |  FROM documents),
          |k AS (SELECT source, thr,
-         |    ('0x' || substr(md5('$SampleSeed|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    ${DedupQueries.h(s"'$SampleSeed|' || doc_id::VARCHAR")}
          |      % 10000 < thr AS keep
          |  FROM q)
          |SELECT source, count(*) AS n_docs,

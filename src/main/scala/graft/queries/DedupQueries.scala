@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryPack {
 
-  private val K = 16      // minhash signature length
-  private val Bands = 4   // LSH bands (4 rows per band)
+  // private[queries]: the curation funnel (q61/q72) runs the SAME LSH
+  // configuration and its oracle embeds minhashPairsCtes below — one
+  // constant pair keeps a retune from silently desynchronizing them
+  private[queries] val K = 16      // minhash signature length
+  private[queries] val Bands = 4   // LSH bands (4 rows per band)
   // SimHash banding: 60-bit signature split into 4×15-bit chunks —
   // hamming ≤ 3 ⇒ the pair shares ≥1 chunk (pigeonhole), and the bucket
   // keyspace is 4·2^15 = 131,072, wide enough that per-bucket occupancy
@@ -75,7 +78,8 @@ object DedupQueries extends QueryPack {
     * review. Shares [[StandingNearDup]] with q105's streaming gate, so
     * q80 also gets the artifact save/load restart seam. */
   private def q80CorpusIndex(s: SparkSession, d: String): Dedup.NearDupIndex =
-    StandingNearDup.index(s, d, "q80-neardup") {
+    StandingNearDup.index(s, d, "q80-neardup",
+        shingleN = 3, k = K, bands = Bands, threshold = 0.8) {
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
         .select(col("doc_id"), col("text"))
     }
@@ -379,8 +383,10 @@ object DedupQueries extends QueryPack {
 
   // ---------------------------------------------------------------- oracles
 
-  /** DuckDB fragment: engine-portable 60-bit md5 hash of a SQL expr. */
-  private def h(expr: String): String =
+  /** DuckDB fragment: engine-portable 60-bit md5 hash of a SQL expr
+    * (private[queries] — the ONE definition every oracle interpolates,
+    * so a hash-shape change cannot miss a hand-inlined copy). */
+  private[queries] def h(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
   /** Shared CTE: doc_id + distinct 3-token shingles over `src`. */

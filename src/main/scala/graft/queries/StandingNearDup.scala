@@ -26,8 +26,16 @@ object StandingNearDup {
     * (doc_id, text)); `name` is both the memo key and the
     * [[ArtifactStore]] artifact name. `corpus` is only evaluated on a
     * memo miss; the load/build/stale-rebuild resolution is
-    * [[ArtifactStore.standing]]. */
-  def index(s: SparkSession, d: String, name: String)
+    * [[ArtifactStore.standing]].
+    *
+    * LSH parameters are REQUIRED (no defaults): each caller's oracle
+    * embeds its own k/bands/threshold constants, and a call site that
+    * silently rode `buildNearDupIndex`'s library defaults stayed in
+    * agreement with its oracle only by coincidence — a retune of
+    * either side would desynchronize them with nothing at the call
+    * site to connect the failure to. */
+  def index(s: SparkSession, d: String, name: String, shingleN: Int,
+      k: Int, bands: Int, threshold: Double)
       (corpus: => DataFrame): Dedup.NearDupIndex =
     cache.get((s, d, name)) {
       val c = corpus
@@ -35,7 +43,8 @@ object StandingNearDup {
       // it gates the load AND stamps the save
       lazy val snap = ArtifactStore.snapshot(c, Seq("doc_id", "text"))
       ArtifactStore.standing(s, name, d)(
-        Dedup.buildNearDupIndex(c, "doc_id", "text"))(
+        Dedup.buildNearDupIndex(c, "doc_id", "text", shingleN, k, bands,
+          threshold))(
         (idx, dir) => ArtifactStore.saveNearDupIndex(idx, dir, snap))(
         dir => ArtifactStore.loadNearDupIndex(s, dir, snap))
     }

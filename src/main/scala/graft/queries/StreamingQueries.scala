@@ -145,7 +145,9 @@ object StreamingQueries extends QueryPack {
 
   private def standingNearDupIndex(s: SparkSession, d: String)
       : graft.ext.Dedup.NearDupIndex =
-    StandingNearDup.index(s, d, "q105-neardup") {
+    StandingNearDup.index(s, d, "q105-neardup",
+        shingleN = 3, k = DedupQueries.K, bands = DedupQueries.Bands,
+        threshold = 0.8) {
       Tables.documents(s, d).filter(col("doc_id") % 9 =!= 4)
         .select(col("doc_id"), col("text"))
     }

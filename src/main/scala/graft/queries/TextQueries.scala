@@ -28,11 +28,19 @@ object TextQueries extends QueryPack {
 
     // ---- Quality scoring: length / punctuation / stopword ratios ----
     "q31_quality_score" -> ((s, d) => {
+      // integer basis points (q92/q100's convention): per-doc
+      // round(raw,4) is the non-portable half-boundary rounding
+      // TextAnalysis documents — the floored-bp sum is integer-exact
+      // cross-engine, and the single final division+round acts on a
+      // bit-identical double on both sides
       Tables.documents(s, d)
-        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("qbp",
+          floor(TextAnalysis.qualityScoreRaw(col("text")) * 10000)
+            .cast("long"))
         .groupBy(col("lang"))
-        .agg(round(avg(col("q")), 4).as("avg_quality"),
-          sum(when(col("q") >= 0.8, 1).otherwise(0)).as("n_high"),
+        .agg(round(sum(col("qbp")).cast("double") / count(lit(1)) / 10000.0, 4)
+            .as("avg_quality"),
+          sum(when(col("qbp") >= 8000, 1).otherwise(0)).as("n_high"),
           count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),
@@ -344,7 +352,6 @@ object TextQueries extends QueryPack {
 
   /** DuckDB mirror of [[TextAnalysis.qualityScore]] (rounded 4dp on both
     * sides so threshold comparisons agree bit-for-bit). */
-  private[queries] def qualitySql: String = s"round($qualitySqlRaw, 4)"
 
   /** DuckDB mirror of [[TextAnalysis.langId]]'s preference-ordered
     * argmax, as (scoreColumns, caseExpression-over-s_&lt;lang&gt;). */
@@ -368,10 +375,13 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q31_quality_score" ->
-      s"""WITH t AS (SELECT lang, $qualitySql AS q
+      s"""WITH t AS (SELECT lang,
+         |    CAST(floor($qualitySqlRaw * 10000) AS BIGINT) AS qbp
          |  FROM documents)
-         |SELECT lang, round(avg(q), 4) AS avg_quality,
-         |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |SELECT lang,
+         |  round(sum(qbp)::DOUBLE / count(*) / 10000.0, 4) AS avg_quality,
+         |  CAST(sum(CASE WHEN qbp >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_high,
          |  count(*) AS n
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -386,10 +396,10 @@ object TextQueries extends QueryPack {
     },
 
     "q33_fingerprint" ->
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT source,
         |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
-        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT)
+        |    i -> ${DedupQueries.h("array_to_string(tk[i:i+2], ' ')")})
         |  ELSE [] END AS h FROM toks),
         |w AS (SELECT source, list_distinct(
         |  CASE WHEN len(h) >= 4 THEN list_transform(generate_series(1, len(h) - 3),
@@ -466,7 +476,7 @@ object TextQueries extends QueryPack {
          |      ' ') AS chunk
          |  FROM sj),
          |hh AS (SELECT doc_id, source, len(string_split(chunk, ' ')) AS ct,
-         |    ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch FROM c)
+         |    ${DedupQueries.h("chunk")} AS ch FROM c)
          |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
          |  CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens,
          |  CAST(max(ct) AS BIGINT) AS max_chunk_tokens,
