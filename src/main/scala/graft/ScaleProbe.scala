@@ -246,11 +246,12 @@ object ScaleProbe {
         .unionByName(base.orderBy(col("doc_id").desc).limit(250)
           .select((-col("doc_id") - 1).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", "$1_d").as("text")))
-      val idx = Dedup.buildNearDupIndex(docs, "doc_id", "text")
+      val idx = Dedup.buildNearDupIndex(docs, "doc_id", "text",
+        shingleN = 3) // pinned: the probes below shingle at 3 too
       idx.hashes.count(); idx.guardedBands.count() // untimed build
       try {
         timed("neardup_index_probe") {
-          idx.probe(delta, "doc_id", "text").count()
+          idx.probe(delta, "doc_id", "text", shingleN = 3).count()
         }
         // The standing-labels snapshot is an EXPENSIVE untimed build —
         // only pay for it when the incremental experiment is selected,
@@ -262,7 +263,7 @@ object ScaleProbe {
             Dedup.minhashLshPairs(docs, "doc_id", "text")
               .select(col("a_id"), col("b_id")))
           labels.cache(); labels.count() // untimed standing snapshot
-          val deltaEdges = idx.probe(delta, "doc_id", "text")
+          val deltaEdges = idx.probe(delta, "doc_id", "text", shingleN = 3)
             .select(col("d_id").as("a_id"), col("c_id").as("b_id"))
           deltaEdges.cache(); deltaEdges.count()
           try timed("incremental_cc") {

@@ -520,8 +520,13 @@ object Dedup {
 
     /** Near-dup pairs (d_id, c_id, jacc ≥ threshold) between `delta`
       * and the indexed corpus (never within either side). */
+    // shingleN is REQUIRED: a probe that shingles deltas at a different
+    // n than the index was built with never legitimately matches — every
+    // near-dup would be silently admitted. The build parameter is not in
+    // the artifact sidecar (the load never reads it), so the call site
+    // must pin it explicitly, like StandingNearDup's build parameters.
     def probe(delta: DataFrame, idCol: String, textCol: String,
-        shingleN: Int = 3): DataFrame = {
+        shingleN: Int): DataFrame = {
       val shD = shingleHashFrame(delta, idCol, textCol, shingleN,
         cache = false)
       val cand = bandRowsOf(shD, k, bands)

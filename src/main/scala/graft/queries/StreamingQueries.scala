@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.streaming.StateMetrics
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -47,6 +47,32 @@ object StreamingQueries extends QueryPack {
     * exactly what a real deployment does (here: 40k rows → 8
     * partitions; a 100 TB stream would size UP the same way). The clone
     * keeps the tuning off the shared batch session. */
+  /** The q55/q58 arrival shape — ONE definition so the two
+    * stream-stream joins cannot drift apart. */
+  private val ArrivalSchema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  /** Filtered + watermarked click/purchase branches off ONE streaming
+    * source (the stream SELF-JOIN form — a second independent file
+    * source would scan and JSON-parse the full input per micro-batch
+    * and keep its own offset log), plus the 1-hour interval join
+    * condition. Shared by q55 (inner) and q58 (left outer). */
+  private def clickPurchaseBranches(src: DataFrame)
+      : (DataFrame, DataFrame, Column) = {
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val cond = col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+    (clicks, purchases, cond)
+  }
+
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -208,25 +234,10 @@ object StreamingQueries extends QueryPack {
       }
       val tmp = Files.createTempDirectory("graft_ssj_run_").toString
       val ss = streamSession(s)
-      val schema = StructType(Seq(
-        StructField("ts", TimestampType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      // ONE source, two filtered branches (the stream SELF-JOIN form):
-      // a `def` here would register two independent file sources that
-      // each scan and JSON-parse the full input every micro-batch —
-      // double source I/O and a second offset log for the same files
-      val src = ss.readStream.schema(schema).json(s"$in/in")
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("value").as("p_value"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        col("p_user") === col("c_user")
-          && col("c_ts") <= col("p_ts")
-          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      // `val src` (not def): see clickPurchaseBranches — one source
+      val src = ss.readStream.schema(ArrivalSchema).json(s"$in/in")
+      val (clicks, purchases, cond) = clickPurchaseBranches(src)
+      val joined = purchases.join(clicks, cond)
       val q = joined.writeStream.outputMode("append")
         .foreachBatch { (df: DataFrame, _: Long) =>
           df.write.mode("append").parquet(s"$tmp/out")
@@ -281,26 +292,13 @@ object StreamingQueries extends QueryPack {
       }
       val tmp = Files.createTempDirectory("graft_sslo_run_").toString
       val ss = streamSession(s)
-      val schema = StructType(Seq(
-        StructField("ts", TimestampType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      // ONE source (self-join form; see q55) — with maxFilesPerTrigger=1
-      // this also makes each micro-batch feed BOTH sides from the same
-      // file instead of two sources pacing their own file queues
-      val src = ss.readStream.schema(schema)
+      // ONE source (see clickPurchaseBranches) — maxFilesPerTrigger=1
+      // additionally makes each micro-batch feed BOTH sides from the
+      // same file instead of two sources pacing their own file queues
+      val src = ss.readStream.schema(ArrivalSchema)
         .option("maxFilesPerTrigger", 1).json(s"$fxDir/in")
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("value").as("p_value"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        col("p_user") === col("c_user")
-          && col("c_ts") <= col("p_ts")
-          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
-        "leftOuter")
+      val (clicks, purchases, cond) = clickPurchaseBranches(src)
+      val joined = purchases.join(clicks, cond, "leftOuter")
       val q = joined.writeStream.outputMode("append")
         .foreachBatch { (df: DataFrame, _: Long) =>
           df.write.mode("append").parquet(s"$tmp/out")
@@ -572,7 +570,7 @@ object StreamingQueries extends QueryPack {
           // cache the (tiny) rejected-id frame: the stats count and the
           // admitted anti join would otherwise each re-run the whole
           // signature+verify probe pipeline (q107's convention)
-          val rejected = idx.probe(batch, "doc_id", "text")
+          val rejected = idx.probe(batch, "doc_id", "text", shingleN = 3)
             .select(col("d_id").as("doc_id")).distinct().cache()
           try {
             nRejected += rejected.count()

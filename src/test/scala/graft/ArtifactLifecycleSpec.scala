@@ -47,7 +47,7 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val built = Dedup.buildNearDupIndex(docs(spark), "doc_id", "text")
     ArtifactStore.saveNearDupIndex(built, dir, docsSnapshot(spark))
-    val want = built.probe(delta, "doc_id", "text")
+    val want = built.probe(delta, "doc_id", "text", shingleN = 3)
       .orderBy(col("d_id"), col("c_id")).collect().map(_.toSeq).toSeq
     built.unpersist()
     assert(want.nonEmpty, "probe found no pairs — test would be vacuous")
@@ -56,11 +56,11 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loaded = ArtifactStore.loadNearDupIndex(fresh, dir, docsSnapshot(fresh))
     val deltaF = docs(fresh).filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-    val probePlan = loaded.probe(deltaF, "doc_id", "text")
+    val probePlan = loaded.probe(deltaF, "doc_id", "text", shingleN = 3)
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("InMemoryTableScan"),
       "loaded index probes re-scan parquet instead of the cached standing frames")
-    val got = loaded.probe(deltaF, "doc_id", "text")
+    val got = loaded.probe(deltaF, "doc_id", "text", shingleN = 3)
       .orderBy(col("d_id"), col("c_id")).collect().map(_.toSeq).toSeq
     loaded.unpersist()
     assert(got == want)
