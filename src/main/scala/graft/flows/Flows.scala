@@ -65,12 +65,17 @@ object Flows {
       fl.backupDeduped(f, new Path(dirs.backup), nowMillis)
       fl.moveProcessed(f, new Path(dirs.processed), nowMillis)
     }
-    val remaining = fl.auditRemaining(new Path(dirs.input), "*.xml").size
-    // ok = the completeness audit passed. (The old `ran || rows == 0`
-    // was a tautology — `ran` false implies `rows` was never assigned —
-    // so the field could never report an incomplete drain. Publish
-    // failures already THROW; `ok` exists to surface the audit.)
-    FlowReport(files.size, rows, ok = remaining == 0, remaining)
+    // Completeness audit against THIS drain's starting listing, not a
+    // re-glob of the live dir: files arriving mid-drain are the
+    // documented-healthy case ("wait for the next drain"), so counting
+    // them made every drain under continuous feed report ok=false while
+    // an actual miss from this drain's set was the one thing the old
+    // audit could never isolate. (Publish/move failures still THROW;
+    // `ok` surfaces a file that survived its own move.)
+    val stillThere = fl.auditRemaining(new Path(dirs.input), "*.xml")
+      .map(_.toString).toSet
+    val missed = files.count(f => stillThere.contains(f.toString))
+    FlowReport(files.size, rows, ok = missed == 0, remaining = missed)
   }
 
   /** Flow 2 — xml_fast (reference Dag2 + mypy/xmlonly.py → topic

@@ -14,7 +14,7 @@ import scala.util.control.NonFatal
 object Runner {
 
   final case class StageResult(name: String, ok: Boolean, attempts: Int,
-      skipped: Boolean = false, error: Option[String] = None)
+      error: Option[String] = None)
 
   /** O5: run `f` with up to `attempts` tries, sleeping
     * `backoffMs * 2^(try-1)` between failures (capped by `maxDelayMs`,
@@ -55,8 +55,10 @@ object Runner {
         StageResult(name, ok = true, attempts = tries)
       } catch {
         case NonFatal(e) =>
+          // getMessage is null for message-less exceptions (bare NPE) —
+          // error.isDefined must imply a usable string
           StageResult(name, ok = false, attempts = tries,
-            error = Some(e.getMessage))
+            error = Some(Option(e.getMessage).getOrElse(e.toString)))
       }
     }
     (results.nonEmpty && results.forall(_.ok), results)

@@ -90,15 +90,25 @@ object ArtifactStore {
     * HDFS-like filesystems). A concurrent reader never observes a
     * half-written artifact at `dir` — it sees the prior artifact, no
     * artifact (the instant between the renames, which the query seams'
-    * rebuild fallback already tolerates), or the complete new one. A
-    * writer that crashes mid-stage leaves `dir` untouched; its orphaned
-    * staging dir is invisible to [[exists]] and reclaimed by the next
-    * save. */
+    * rebuild fallback already tolerates), or the complete new one.
+    *
+    * Writer-vs-writer: each save stages under a UNIQUE suffix, so two
+    * concurrent builds of the same artifact can no longer interleave
+    * writes into ONE shared staging dir and commit a mixed artifact
+    * (sidecar from one writer over members from the other — passing
+    * the snapshot gate while k/bands/contents disagree). With unique
+    * staging the last committed rename wins WHOLE: the final artifact
+    * is one writer's complete output. A writer that crashes mid-stage
+    * leaves `dir` untouched; its orphaned staging dir is invisible to
+    * [[exists]] and bounded by crash count (deliberately NOT swept by
+    * later saves — a sweep would be the shared-staging interference
+    * again). */
   private[graft] def commitDir(dir: String)(write: String => Unit): Unit = {
     val target = new Path(dir)
     val fs = fsOf(target)
     fs.mkdirs(target.getParent)
-    val staging = new Path(target.getParent, s".${target.getName}.staging")
+    val staging = new Path(target.getParent,
+      s".${target.getName}.staging_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.delete(staging, true)
     write(staging.toString)
     val retired = new Path(target.getParent, s".${target.getName}.old")

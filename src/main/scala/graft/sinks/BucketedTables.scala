@@ -3,7 +3,6 @@ package graft.sinks
 import graft.Tables
 import org.apache.spark.sql.SparkSession
 
-import java.nio.file.Files
 
 /** Bucketed-table layout (SURVEY scale posture: "repartition/bucketing
   * for co-located joins"): orders and lineitem written ONCE, bucketed
@@ -48,7 +47,15 @@ object BucketedTables {
         "_" + Integer.toHexString(d.hashCode)
       val oT = s"graft_orders_b$tag"
       val lT = s"graft_lineitem_b$tag"
-      val base = Files.createTempDirectory("graft_bucketed_").toString
+      // ONE deterministic dir per tag, reused across rebuilds: these
+      // are EXTERNAL tables (option("path")), so DROP TABLE removes
+      // only metadata — a fresh createTempDirectory per rebuild leaked
+      // a full bucketed orders+lineitem copy every cache
+      // eviction/session cycle. mode("overwrite") replaces the files
+      // in place on rebuild.
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_bucketed_$tag")
+          .getAbsolutePath
       s.sql(s"DROP TABLE IF EXISTS $oT")
       s.sql(s"DROP TABLE IF EXISTS $lT")
       // repartition by the bucket key into the bucket count BEFORE the

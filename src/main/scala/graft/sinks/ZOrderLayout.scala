@@ -24,12 +24,22 @@ import org.apache.spark.sql.functions._
 object ZOrderLayout {
 
   /** Morton interleave of the low `bits` bits of non-negative `x` and
-    * `y`: x's bit i lands at position 2i, y's at 2i+1. */
-  def zvalue(x: Column, y: Column, bits: Int): Column =
+    * `y`: x's bit i lands at position 2i, y's at 2i+1.
+    *
+    * bits is bounded 1..31: 0 would crash the reduce on an empty list,
+    * and 2*31+1 = 63 is the last shift keeping z non-negative — at
+    * bits = 32 the sign bit flips for rows with y's top grid bit set,
+    * range-partitioning them FIRST and overlapping every file envelope
+    * (the silent-pruning-loss class the domain guards below exist to
+    * prevent). */
+  def zvalue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31,
+      s"zvalue bits must be in 1..31, got $bits")
     (0 until bits).map { i =>
       shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+  }
 
   /** The same interleave as DuckDB SQL (for oracles). */
   def zvalueSql(x: String, y: String, bits: Int): String =
@@ -52,6 +62,9 @@ object ZOrderLayout {
     * catalog. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
       files: Int, path: String): Unit = {
+    // validate BEFORE paying the min/max aggregate below
+    require(bits >= 1 && bits <= 31,
+      s"writeZOrdered bits must be in 1..31, got $bits")
     val r = df.agg(max(col(xCol)), max(col(yCol)),
       min(col(xCol)), min(col(yCol))).head
     // Empty input: max() is NULL and there is nothing to order — write

@@ -55,10 +55,13 @@ object XmlMeas {
   }
 
   /** NIL/NULL-string/empty/null → "0" (reference dags/Dag2.py:118 +
-    * FIXTURES.md §1 cases), then double. */
+    * FIXTURES.md §1 cases), then double. try_cast, not cast: under
+    * ANSI (Spark 4 default) a bare cast THROWS on any other junk
+    * r-value ("N/A", "1,5") and the drain wedges on that file forever
+    * — malformed values must cleanse to null, not kill the drain. */
   private def cleanValue(v: Column): Column =
     when(v.isNull || trim(v).isin("NIL", "NULL", ""), lit("0"))
-      .otherwise(v).cast("double")
+      .otherwise(v).try_cast("double")
 
   /** measType array → (p → name) map, null-key-safe and last-wins on
     * duplicate p (see call site). */
@@ -127,8 +130,11 @@ object XmlMeas {
       // exactly the split semantics ("Cell=ABC=1,..." → ABC, not ABC=1)
       regexp_extract(col("measObjLdn"), "^[^=]*=([^,=]*)", 1).as("nodeid"),
       col("r._p").as("kpiId"),
+      // concat_ws, not concat: concat is null-propagating, so a
+      // missing r@p would null the WHOLE fallback and the row would
+      // lump into a null kpiName group instead of carrying a marker
       coalesce(element_at(col("mt"), col("r._p")),
-        concat(lit("UNKNOWN_"), col("r._p"))).as("kpiName"),
+        concat_ws("", lit("UNKNOWN_"), col("r._p"))).as("kpiName"),
       cleanValue(col("r._VALUE")).as("kpiValue"))
   }
 
@@ -145,8 +151,18 @@ object XmlMeas {
       paths: Seq[String]): DataFrame = {
     val raw = spark.read
       .option("wholetext", "true")
-      .text(paths: _*)
+      .text(paths.map(escapeGlob): _*)
       .withColumn("fileId", input_file_name())
     flatten(raw, "value", "fileId")
   }
+
+  /** Escape Hadoop glob metacharacters in a LITERAL path. spark.read
+    * glob-interprets every input path, so an uploaded `x[1].xml` would
+    * silently read `x1.xml`'s content instead (double-publishing it
+    * and archiving `x[1].xml` unread — silent data loss), or throw
+    * PATH_NOT_FOUND when no glob match exists. The lifecycle utilities
+    * already treat glob metachars in source filenames as in-scope
+    * (FileLifecycle's listStatus-not-glob dedup check). */
+  private def escapeGlob(p: String): String =
+    p.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
 }

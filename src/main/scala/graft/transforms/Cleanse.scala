@@ -20,9 +20,12 @@ object Cleanse {
   def sentinelToZeroCast(c: String, sentinel: String = "NIL",
       castTo: String = "double"): Stage =
     // replacement stays a string so ANSI type coercion (Spark 4 default)
-    // can't force the non-sentinel branch into an integer cast
+    // can't force the non-sentinel branch into an integer cast;
+    // try_cast so non-sentinel junk cleanses to null instead of
+    // throwing CAST_INVALID_INPUT and wedging the stream on one row
     df => df.withColumn(c,
-      when(col(c) === sentinel, lit("0")).otherwise(col(c)).cast(castTo))
+      when(col(c) === sentinel, lit("0")).otherwise(col(c))
+        .try_cast(castTo))
 
   /** P6 + F6 intent: case/whitespace-insensitive "nil" → 0 (reference
     * mypy/preprocessproduce.py:60-62 — broken there for missing imports;
@@ -37,9 +40,14 @@ object Cleanse {
       when(col(c).isNull || col(c).isin("NIL", "NULL"), lit("0"))
         .otherwise(col(c)))
 
-  /** F3: string → timestamp (reference mypy/preprocessproduce.py:50). */
+  /** F3: string → timestamp (reference mypy/preprocessproduce.py:50).
+    * try_to_timestamp: under ANSI a malformed Time cell (a FIXTURES.md
+    * §3 flow-1 input case) would otherwise throw CANNOT_PARSE_TIMESTAMP
+    * inside the streaming foreachBatch and wedge checkpoint replay on
+    * that batch forever — malformed parses to null, downstream fills /
+    * dead-letter routing handle it. */
   def parseTime(c: String, fmt: String = "MM-dd-yyyy HH:mm"): Stage =
-    df => df.withColumn(c, to_timestamp(col(c), fmt))
+    df => df.withColumn(c, try_to_timestamp(col(c), lit(fmt)))
 
   /** F4: typed null fills (reference mypy/preprocessproduce.py:51-52,57). */
   def fillNumeric(value: Double, cols: Seq[String]): Stage =
@@ -74,7 +82,9 @@ object Cleanse {
   /** F12: dictionary lookup with UNKNOWN_{id} fallback after the measType
     * join (reference dags/Dag2.py:129). */
   def unknownFallback(nameCol: String, idCol: String): Column =
-    coalesce(col(nameCol), concat(lit("UNKNOWN_"), col(idCol)))
+    // concat_ws: null-propagating concat would null the fallback too
+    // when the id itself is null — the marker must survive
+    coalesce(col(nameCol), concat_ws("", lit("UNKNOWN_"), col(idCol)))
 
   /** F7 + P1: serialize all columns except `exclude` to a JSON `value`
     * column (reference mypy/xmlonly.py:121). */
@@ -96,8 +106,11 @@ object Cleanse {
   def withContentHash(c: String, out: String = "content_md5"): Stage =
     df => df.withColumn(out, md5(col(c).cast("binary")))
 
-  /** Compose stages left-to-right. */
-  def chain(stages: Stage*): Stage = stages.reduceLeft(_ andThen _)
+  /** Compose stages left-to-right (zero stages = identity, so a
+    * dynamically assembled empty chain is a no-op, not a reduceLeft
+    * crash). */
+  def chain(stages: Stage*): Stage =
+    stages.foldLeft[Stage](df => df)(_ andThen _)
 
   /** Column-name canonicalization (SURVEY §7.4 risk 2): the reference's
     * 69-col schema uses spaces, `%`, `/`, `(`, `)`, dots — parquet

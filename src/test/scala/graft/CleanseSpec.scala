@@ -18,6 +18,34 @@ class CleanseSpec extends AnyFunSuite {
       .dataType == DoubleType)
   }
 
+  test("malformed inputs cleanse to null instead of throwing under ANSI") {
+    // Pre-fix all three THREW under Spark 4's default ANSI mode
+    // (CAST_INVALID_INPUT / CANNOT_PARSE_TIMESTAMP), wedging a
+    // checkpointed streaming drain on one bad row forever.
+    val junkCast = Cleanse.sentinelToZeroCast("v")(Seq("junk").toDF("v"))
+      .collect()
+    assert(junkCast.head.isNullAt(0))
+    val junkTime = Cleanse.parseTime("t")(Seq("not a date").toDF("t"))
+      .collect()
+    assert(junkTime.head.isNullAt(0))
+    val goodTime = Cleanse.parseTime("t")(Seq("04-13-2025 10:15").toDF("t"))
+      .collect()
+    assert(!goodTime.head.isNullAt(0)) // well-formed still parses
+  }
+
+  test("unknownFallback: marker survives a null id; chain() of zero stages is identity") {
+    // concat is null-propagating: pre-fix a null id nulled the WHOLE
+    // fallback and the row lumped into a null-name group
+    val df = Seq((Option.empty[String], Option.empty[String]),
+      (None, Some("9"))).toDF("name", "id")
+    val out = df.select(Cleanse.unknownFallback("name", "id").as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("UNKNOWN_", "UNKNOWN_9"))
+    // pre-fix: empty.reduceLeft UnsupportedOperationException
+    val same = Cleanse.chain()(df)
+    assert(same.collect().length === 2)
+  }
+
   test("nilNormalizedToZero: trims + lowercases before comparing") {
     val df = Seq(" NIL ", "nil", "Nil", "3.5", "anil").toDF("v")
     val out = Cleanse.nilNormalizedToZero("v")(df).as[String].collect()

@@ -49,6 +49,25 @@ class FlowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(dirs.backup).list().count(_.startsWith("backup_")) === 1)
   }
 
+  test("a file arriving MID-DRAIN does not fail the completeness audit") {
+    // The audit compares the drain-START listing against what is still
+    // present, not a re-glob of the live dir: pre-fix, this drain
+    // reported ok=false/remaining=1 for the documented-healthy case
+    // (late arrival waits for the next drain), which under continuous
+    // feed made EVERY successful drain read as incomplete.
+    val (dirs, root) = mkFlow()
+    Files.writeString(Paths.get(dirs.input, "a.xml"), xml)
+    val sink: DataFrame => Unit = df => {
+      df.write.mode("append").parquet(s"$root/out/data")
+      // simulate an upload landing while the drain is publishing
+      Files.writeString(Paths.get(dirs.input, "late.xml"), xml)
+    }
+    val r = Flows.xmlFast(spark, dirs, sink, nowMillis = 9L)
+    assert(r.files === 1 && r.ok && r.remaining === 0)
+    assert(Files.exists(Paths.get(dirs.input, "late.xml"))) // next drain's
+    assert(Files.exists(Paths.get(dirs.processed, "processed_9_a.xml")))
+  }
+
   test("gzip flow: gunzip stage, 9-field variant drops nodeid") {
     val (dirs, root) = mkFlow()
     val gz = s"$root/gz"; Files.createDirectories(Paths.get(gz))

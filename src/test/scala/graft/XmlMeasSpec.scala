@@ -53,6 +53,44 @@ class XmlMeasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getAs[Double]("kpiValue") === 0.0) // NIL → 0
   }
 
+  test("junk r-value cleanses to null; missing r@p keeps the UNKNOWN_ marker") {
+    // Pre-fix, BOTH failed: under ANSI (Spark 4 default) the bare
+    // cast("double") THREW CAST_INVALID_INPUT on "N/A" (killing the
+    // whole drain on one malformed file), and null-propagating concat
+    // made the missing-@p fallback NULL instead of "UNKNOWN_".
+    val xml =
+      """<measCollecFile>
+        |<fileHeader><measCollec beginTime="t0"/></fileHeader>
+        |<measData><measInfo measInfoId="M">
+        |<measType p="1">A</measType>
+        |<measValue measObjLdn="n=1">
+        |<r p="1">N/A</r><r>5</r>
+        |</measValue></measInfo></measData></measCollecFile>""".stripMargin
+    val rows = flat(xml).orderBy(col("kpiId").asc_nulls_last).collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("kpiValue"))) // junk → null
+    val noP = rows(1)
+    assert(noP.isNullAt(noP.fieldIndex("kpiId")))
+    assert(noP.getAs[String]("kpiName") === "UNKNOWN_")
+    assert(noP.getAs[Double]("kpiValue") === 5.0)
+  }
+
+  test("readAndFlatten reads a literal path with glob metacharacters") {
+    // spark.read glob-interprets input paths: pre-fix, reading the
+    // listed path x[1].xml silently returned x1.xml's content (data
+    // loss: x[1].xml published never, x1.xml twice). Paths are now
+    // glob-escaped, so the bracket file's OWN rows come back.
+    val dir = java.nio.file.Files.createTempDirectory("xmlglob_")
+    java.nio.file.Files.writeString(dir.resolve("x[1].xml"), sample)
+    java.nio.file.Files.writeString(dir.resolve("x1.xml"),
+      sample.replace("99.7", "11.1"))
+    val rows = XmlMeas.readAndFlatten(spark,
+        Seq(dir.resolve("x[1].xml").toString))
+      .orderBy("kpiId").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("kpiValue") === 99.7) // NOT x1.xml's 11.1
+  }
+
   test("UNKNOWN_p fallback, NULL/empty values, no '=' in measObjLdn") {
     val xml =
       """<measCollecFile>

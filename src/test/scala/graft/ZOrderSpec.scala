@@ -77,6 +77,23 @@ class ZOrderSpec extends AnyFunSuite {
       df.agg(min(col("x")), max(col("x"))).head)
   }
 
+  test("zvalue/writeZOrdered reject out-of-range bits loudly") {
+    import spark.implicits._
+    // bits=0 crashed the interleave reduce on an empty list; bits=32
+    // shifted past the Long sign bit, range-partitioning high-y rows
+    // FIRST — overlapping every file envelope with no symptom
+    assertThrows[IllegalArgumentException](
+      ZOrderLayout.zvalue(col("x"), col("y"), 0))
+    assertThrows[IllegalArgumentException](
+      ZOrderLayout.zvalue(col("x"), col("y"), 32))
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val out = Files.createTempDirectory("graft_zbits_").toString
+    assertThrows[IllegalArgumentException](
+      ZOrderLayout.writeZOrdered(df, "x", "y", 0, 2, out))
+    assertThrows[IllegalArgumentException](
+      ZOrderLayout.writeZOrdered(df, "x", "y", 32, 2, out))
+  }
+
   test("writeZOrdered rejects negative and overflow-range keys loudly") {
     import spark.implicits._
     // a negative key would sign-corrupt the interleave SILENTLY (files
