@@ -43,5 +43,12 @@ fi
 
 loc=$(find src/main -name '*.scala' -exec cat {} + | wc -l)
 tools_loc=$(cat tools/*.py tools/*.sh 2>/dev/null | wc -l)
-echo "== src/main LoC: $loc (tools: $tools_loc) — record the net vs last round in BASELINE.md's round row"
+echo "== src/main LoC: $loc (tools: $tools_loc)"
+echo "== CHECKLIST (r11 verdict #1 — the round row went stale two rounds running):"
+echo "==   1. update BASELINE.md's round row NOW with: LoC $loc (+net vs last"
+echo "==      round), the FINAL-tree ScalaTest count from the last full run,"
+echo "==      certify_means + sf0.1 Verify + bench numbers WITH calib fields"
+echo "==   2. the numbers must describe the CURRENT commit — if any code"
+echo "==      landed after the last certification, re-certify first"
+echo "==   3. then stop: the remaining round time is a code freeze"
 exit "$rc"
