@@ -91,7 +91,10 @@ object TextAnalysis {
       struct(stopwordHits(toks, Stopwords(l)).as("s"),
         lit(-i).as("p"), lit(l).as("lang"))
     }
-    array_max(array(entries: _*)).getField("lang")
+    // NULL text pinned to NULL (null-in/null-out): ANSI size(null)=null
+    // nulls every score, so the argmax would pick 'en' where the old
+    // chain fell to 'zh' — the 'identical winner' claim is non-null-only.
+    when(text.isNotNull, array_max(array(entries: _*)).getField("lang"))
   }
 
   /** Hashes of `n`-token shingles (order-sensitive), engine-portable via

@@ -7,7 +7,7 @@ import graft.streaming.{FileLifecycle, FilePipeline, FilePipelineConfig}
 import graft.transforms.Cleanse
 import graft.runtime.Runner
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,9 +47,9 @@ object Flows {
       variant: Seq[String], sink: DataFrame => Unit,
       nowMillis: Long): FlowReport = {
     val fl = lifecycle(spark)
-    val files = fl.auditRemaining(new Path(dirs.input), "*.xml")
-    if (files.isEmpty) return FlowReport(0, 0L, ok = true, remaining = 0)
-    val flat = XmlMeas.readAndFlatten(spark, files.map(_.toString))
+    val listed = fl.auditRemaining(new Path(dirs.input), "*.xml")
+    if (listed.isEmpty) return FlowReport(0, 0L, ok = true, remaining = 0)
+    val flat = XmlMeas.readAndFlatten(spark, listed.map(_.getPath.toString))
     var rows = 0L
     // O3 branch-if-empty; O5 retry around the publish
     val ran = Runner.runIfNonEmpty(flat) { df =>
@@ -61,7 +61,7 @@ object Flows {
         rows = obs.get("rows").asInstanceOf[Long]
       }
     }
-    files.foreach { f =>
+    listed.map(_.getPath).foreach { f =>
       fl.backupDeduped(f, new Path(dirs.backup), nowMillis)
       fl.moveProcessed(f, new Path(dirs.processed), nowMillis)
     }
@@ -72,10 +72,19 @@ object Flows {
     // an actual miss from this drain's set was the one thing the old
     // audit could never isolate. (Publish/move failures still THROW;
     // `ok` surfaces a file that survived its own move.)
-    val stillThere = fl.auditRemaining(new Path(dirs.input), "*.xml")
-      .map(_.toString).toSet
-    val missed = files.count(f => stillThere.contains(f.toString))
-    FlowReport(files.size, rows, ok = missed == 0, remaining = missed)
+    val missed = missedOf(listed,
+      fl.auditRemaining(new Path(dirs.input), "*.xml"))
+    FlowReport(listed.size, rows, ok = missed == 0, remaining = missed)
+  }
+
+  /** Audit identity is (path, modificationTime), not bare path: a file
+    * RE-DELIVERED under its old name mid-drain (healthy, next drain's)
+    * is a NEW status, unlike one that survived its own move (a miss). */
+  private[graft] def missedOf(started: Seq[FileStatus],
+      still: Seq[FileStatus]): Int = {
+    def key(s: FileStatus) = (s.getPath.toString, s.getModificationTime)
+    val there = still.map(key).toSet
+    started.count(s => there.contains(key(s)))
   }
 
   /** Flow 2 — xml_fast (reference Dag2 + mypy/xmlonly.py → topic

@@ -97,8 +97,9 @@ object ArtifactStore {
     * writes into ONE shared staging dir and commit a mixed artifact
     * (sidecar from one writer over members from the other — passing
     * the snapshot gate while k/bands/contents disagree). With unique
-    * staging the last committed rename wins WHOLE: the final artifact
-    * is one writer's complete output. A writer that crashes mid-stage
+    * staging plus the commit retry loop, the last committed rename wins
+    * WHOLE on both rename semantics: one writer's complete output, no
+    * losing-writer debris inside it. A writer that crashes mid-stage
     * leaves `dir` untouched; its orphaned staging dir is invisible to
     * [[exists]] and bounded by crash count (deliberately NOT swept by
     * later saves — a sweep would be the shared-staging interference
@@ -112,11 +113,25 @@ object ArtifactStore {
     fs.delete(staging, true)
     write(staging.toString)
     val retired = new Path(target.getParent, s".${target.getName}.old")
-    fs.delete(retired, true)
-    if (fs.exists(target))
-      require(fs.rename(target, retired), s"could not retire $target")
-    require(fs.rename(staging, target),
-      s"could not commit $staging -> $target")
+    // Commit loop: a concurrent commit re-creating `target` between our
+    // retire and our rename loses us the race — rename FALSE on local
+    // FS; on HDFS it "succeeds" by nesting our staging dir INSIDE the
+    // winner's artifact. Both detected, un-nested, retried.
+    val nested = new Path(target, staging.getName)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      fs.delete(retired, true)
+      if (fs.exists(target))
+        require(fs.rename(target, retired), s"could not retire $target")
+      committed = fs.rename(staging, target) && !fs.exists(nested)
+      if (!committed) {
+        if (fs.exists(nested)) require(fs.rename(nested, staging),
+          s"could not recover $nested after a lost commit race")
+        require(attempt < 5, s"could not commit $staging -> $target")
+      }
+    }
     fs.delete(retired, true)
   }
 

@@ -52,7 +52,9 @@ object BucketedTables {
       // only metadata — a fresh createTempDirectory per rebuild leaked
       // a full bucketed orders+lineitem copy every cache
       // eviction/session cycle. mode("overwrite") replaces the files
-      // in place on rebuild.
+      // in place on rebuild. SINGLE-WRITER assumption: JVMs bucketing
+      // one source dir share this path — concurrent multi-driver use
+      // needs a process-scoped dir component (e.g. applicationId).
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_bucketed_$tag")
           .getAbsolutePath

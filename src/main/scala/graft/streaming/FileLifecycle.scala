@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.hadoop.io.IOUtils
 
 import java.io.InputStream
@@ -104,12 +104,13 @@ class FileLifecycle(conf: Configuration) {
 
   /** Post-run completeness audit (reference mypy/xmlonly.py:150-153):
     * files still present in `inputDir` matching `glob` that were NOT
-    * processed — non-empty means the drain missed input. */
-  def auditRemaining(inputDir: Path, glob: String): Seq[Path] = {
+    * processed — non-empty means the drain missed input. Full statuses,
+    * so callers identify files by (path, modTime): [[graft.flows.Flows.missedOf]]. */
+  def auditRemaining(inputDir: Path, glob: String): Seq[FileStatus] = {
     val ifs = fs(inputDir)
     if (!ifs.exists(inputDir)) Seq.empty
     else Option(ifs.globStatus(new Path(inputDir, glob)))
-      .getOrElse(Array.empty).map(_.getPath).toSeq
+      .getOrElse(Array.empty).toSeq
   }
 
   /** Decompress every `*.gz` in `srcDir` into `outDir` (reference

@@ -68,6 +68,20 @@ class FlowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(Paths.get(dirs.processed, "processed_9_a.xml")))
   }
 
+  test("audit identity is (path, modTime): re-delivered same-named file is not a miss") {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    def st(name: String, mod: Long) =
+      new FileStatus(1L, false, 1, 1L, mod, new HPath(s"/in/$name"))
+    val started = Seq(st("a.xml", 100L), st("b.xml", 100L))
+    // a.xml was moved, then a NEW upload re-used its name (new modTime) —
+    // healthy, next drain's problem; b.xml is byte-for-byte the status
+    // from the start listing — it survived its own move, a genuine miss.
+    // Pre-fix bare-path comparison counted both.
+    assert(Flows.missedOf(started,
+      Seq(st("a.xml", 200L), st("b.xml", 100L))) === 1)
+    assert(Flows.missedOf(started, Seq.empty) === 0)
+  }
+
   test("gzip flow: gunzip stage, 9-field variant drops nodeid") {
     val (dirs, root) = mkFlow()
     val gz = s"$root/gz"; Files.createDirectories(Paths.get(gz))

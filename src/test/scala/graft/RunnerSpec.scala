@@ -44,6 +44,16 @@ class RunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok2)
   }
 
+  test("runStages: message-less exception still yields a usable error string") {
+    // bare NPE has getMessage == null; error.isDefined must imply a
+    // non-empty string (pre-r11 code stored Some(null))
+    val (ok, rs) = Runner.runStages(
+      Seq("npe" -> (() => throw new NullPointerException())),
+      attempts = 1, backoffMs = 1)
+    assert(!ok && !rs.head.ok)
+    assert(rs.head.error.exists(e => e != null && e.contains("NullPointerException")))
+  }
+
   test("cluster sizing: shuffle partitions derive from topology") {
     // The builder itself cannot be applied here — getOrCreate would
     // impose the cluster partition count on the suite's SHARED session.

@@ -103,7 +103,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     fl.moveProcessed(new Path(in, "f1.xml"), proc, 9L)
     assert(fs.exists(new Path(proc, "processed_9_f1.xml")))
-    assert(fl.auditRemaining(in, "*.xml").map(_.getName).sorted
+    assert(fl.auditRemaining(in, "*.xml").map(_.getPath.getName).sorted
       === Seq("f2.xml", "f3.xml"))
 
     // gunzip: f.xml.gz → f.xml, archive moved aside

@@ -48,6 +48,11 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("xxxx yyyy zzzz", "en") // zero everywhere → first in LangOrder
     ).toDF("t", "want").select(TextAnalysis.langId(col("t")).as("got"), col("want"))
     df.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+    // NULL text pinned to NULL (null-in/null-out), not a guessed language
+    val nul = Seq(Option.empty[String], Some("the a of data")).toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("got")).collect()
+    assert(nul.map(r => Option(r.getString(0))).toSet
+      === Set(None, Some("en")))
   }
 
   test("native WinnowFingerprints is bit-identical to the HOF composition") {
