@@ -78,8 +78,9 @@ object Flows {
   }
 
   /** Audit identity is (path, modificationTime), not bare path: a file
-    * RE-DELIVERED under its old name mid-drain (healthy, next drain's)
-    * is a NEW status, unlike one that survived its own move (a miss). */
+    * RE-DELIVERED under its old name mid-drain (healthy) is a NEW
+    * status, unlike one that survived its own move; mtime-preserving
+    * re-delivery is indistinguishable and fail-safe reads as a miss. */
   private[graft] def missedOf(started: Seq[FileStatus],
       still: Seq[FileStatus]): Int = {
     def key(s: FileStatus) = (s.getPath.toString, s.getModificationTime)

@@ -353,8 +353,8 @@ object TextQueries extends QueryPack {
   /** DuckDB mirror of [[TextAnalysis.qualityScore]] (rounded 4dp on both
     * sides so threshold comparisons agree bit-for-bit). */
 
-  /** DuckDB mirror of [[TextAnalysis.langId]]'s preference-ordered
-    * argmax, as (scoreColumns, caseExpression-over-s_&lt;lang&gt;). */
+  /** DuckDB mirror of [[TextAnalysis.langId]]: preference-ordered argmax
+    * as (scoreColumns, caseExpr); NULL text → NULL like the engine. */
   private[queries] def predictedSql: (String, String) = {
     val langs = TextAnalysis.LangOrder
     val scoreCols = langs.map(l => s"  ${hitsSql(l)} AS s_$l").mkString(",\n")
@@ -362,7 +362,8 @@ object TextQueries extends QueryPack {
       val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"  WHEN $conds THEN '$l'"
     }.mkString("\n")
-    (scoreCols, s"CASE\n$caseArms\n  ELSE '${langs.last}' END")
+    (scoreCols, s"CASE\n  WHEN s_${langs.head} IS NULL THEN NULL\n" +
+      s"$caseArms\n  ELSE '${langs.last}' END")
   }
 
   override def oracles: Map[String, String] = Map(

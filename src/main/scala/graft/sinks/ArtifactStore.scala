@@ -112,19 +112,28 @@ object ArtifactStore {
       s".${target.getName}.staging_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.delete(staging, true)
     write(staging.toString)
+    commitStaged(fs, target, staging)
+  }
+
+  /** The rename dance of [[commitDir]], fs-parameterized so specs can
+    * fault-inject rename failures (the race branches below are
+    * unreachable deterministically on a real local FS). Commit loop: a
+    * lost writer-vs-writer race on either rename is retried — local FS
+    * renames return FALSE; HDFS "succeeds" by nesting our staging
+    * INSIDE the winner's artifact (un-nested below). Retire is
+    * best-effort (a FALSE surfaces as the commit rename failing);
+    * `.old` is deleted only when a fresh retire needs the name — an
+    * ABORTED commit leaves it recoverable. */
+  private[graft] def commitStaged(fs: FileSystem, target: Path,
+      staging: Path): Unit = {
     val retired = new Path(target.getParent, s".${target.getName}.old")
-    // Commit loop: a concurrent commit re-creating `target` between our
-    // retire and our rename loses us the race — rename FALSE on local
-    // FS; on HDFS it "succeeds" by nesting our staging dir INSIDE the
-    // winner's artifact. Both detected, un-nested, retried.
     val nested = new Path(target, staging.getName)
-    var attempt = 0
-    var committed = false
+    var attempt = 0; var committed = false
     while (!committed) {
       attempt += 1
-      fs.delete(retired, true)
-      if (fs.exists(target))
-        require(fs.rename(target, retired), s"could not retire $target")
+      if (fs.exists(target)) {
+        fs.delete(retired, true); fs.rename(target, retired)
+      }
       committed = fs.rename(staging, target) && !fs.exists(nested)
       if (!committed) {
         if (fs.exists(nested)) require(fs.rename(nested, staging),

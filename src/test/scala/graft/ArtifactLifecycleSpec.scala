@@ -368,6 +368,53 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSession.close(s2)
   }
 
+  import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path => HPath}
+
+  private def stagedCommit(tag: String): (FileSystem, HPath, HPath) = {
+    val root = Files.createTempDirectory(s"graft_art_$tag").toString
+    val fs = FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration()).getRaw
+    val (target, staging) = (new HPath(s"$root/a"),
+      new HPath(s"$root/.a.staging_$tag"))
+    fs.mkdirs(target); fs.mkdirs(staging)
+    fs.create(new HPath(target, "member.bin")).close()
+    fs.create(new HPath(staging, "member.bin")).close()
+    (fs, target, staging)
+  }
+
+  test("commit retry: a lost retire race is retried, not aborted") {
+    val (fs, target, staging) = stagedCommit("retire")
+    // a concurrent committer stealing `target` between our exists()
+    // check and our retire rename surfaces as rename=false; pre-fix, a
+    // require aborted the save here with its complete staging orphaned
+    var failures = 1
+    val flaky = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (d.getName == ".a.old" && failures > 0) { failures -= 1; false }
+        else super.rename(s, d)
+    }
+    ArtifactStore.commitStaged(flaky, target, staging) // must not throw
+    assert(fs.exists(new HPath(target, "member.bin")) && !fs.exists(staging))
+  }
+
+  test("an ABORTED commit leaves the retired recovery copy on disk") {
+    val (fs, target, staging) = stagedCommit("abort")
+    // the commit rename fails persistently (target was retired on the
+    // first attempt): the bounded loop must abort loudly AND leave the
+    // prior artifact under `.a.old` — the pre-fix loop re-deleted
+    // `.old` at the top of every attempt, destroying the only copy
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (d == target) false else super.rename(s, d)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    val old = new HPath(target.getParent, ".a.old")
+    assert(fs.exists(new HPath(old, "member.bin")),
+      "abort deleted the .old recovery copy of the prior artifact")
+  }
+
   test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
     val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
     val snap = CorpusSnapshot(7, 77)
