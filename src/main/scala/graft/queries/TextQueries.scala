@@ -350,9 +350,6 @@ object TextQueries extends QueryPack {
        |    + least((${hitsSql("en")}
        |        / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3)""".stripMargin
 
-  /** DuckDB mirror of [[TextAnalysis.qualityScore]] (rounded 4dp on both
-    * sides so threshold comparisons agree bit-for-bit). */
-
   /** DuckDB mirror of [[TextAnalysis.langId]]: preference-ordered argmax
     * as (scoreColumns, caseExpr); NULL text → NULL like the engine. */
   private[queries] def predictedSql: (String, String) = {

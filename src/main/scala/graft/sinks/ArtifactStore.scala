@@ -134,7 +134,10 @@ object ArtifactStore {
       if (fs.exists(target)) {
         fs.delete(retired, true); fs.rename(target, retired)
       }
-      committed = fs.rename(staging, target) && !fs.exists(nested)
+      // target still occupied (unretirable / concurrently re-created):
+      // don't rename onto it — HDFS would nest INTO the LIVE artifact
+      committed = !fs.exists(target) && fs.rename(staging, target) &&
+        !fs.exists(nested)
       if (!committed) {
         if (fs.exists(nested)) require(fs.rename(nested, staging),
           s"could not recover $nested after a lost commit race")
