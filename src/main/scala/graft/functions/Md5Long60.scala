@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -39,8 +40,15 @@ object Md5Hash {
   * Registered as SQL function `md5long60` via [[graft.GraftExtensions]].
   */
 case class Md5Long60(child: Expression) extends UnaryExpression {
-  // engine-internal: callers always feed cast("binary"); no public
-  // input-type contract needed (AbstractDataType is private[sql])
+  // analysis-time contract like VecDot/IntersectSizeLong (the SQL
+  // registration casts to binary; Column-API misuse fails named here,
+  // not as an executor-side ClassCastException)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"md5long60 requires binary input, got ${t.catalogString}")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "md5long60"
 

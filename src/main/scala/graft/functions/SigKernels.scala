@@ -150,6 +150,10 @@ object SigKernels {
 /** Codegen'd SimHash over a token-hash array column. */
 case class SimhashBits(child: Expression, bits: Int)
     extends UnaryExpression {
+  // same degenerate-parameter guard class as lshBandHashes/simhashChunks:
+  // bits=0 silently gave EVERY doc signature 0 (one mega-bucket, zero
+  // pairs after the hot-bucket cap); bits>64 wraps shifts mod 64
+  require(bits >= 1 && bits <= 64, s"simhash bits must be 1..64, got $bits")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_bits"
 

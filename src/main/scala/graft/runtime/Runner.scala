@@ -29,7 +29,10 @@ object Runner {
         case Right(v) => v
         case Left(_) =>
           Thread.sleep(math.min(delay, maxDelayMs))
-          loop(n + 1, delay * 2)
+          // cap the CARRIED value too: unbounded doubling overflows Long
+          // after ~57 failures and sleep(negative) throws, masking the
+          // stage's real exception
+          loop(n + 1, math.min(delay * 2, maxDelayMs))
       }
     }
     loop(1, backoffMs)

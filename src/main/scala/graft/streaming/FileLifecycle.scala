@@ -195,11 +195,22 @@ class FileLifecycle(conf: Configuration) {
               finally { try in.close() finally out.close() }
             } finally raw.close() // idempotent when in.close() got there
           } catch {
-            case e: java.io.IOException =>
+            // quarantine ONLY on gzip-layer corruption signals (bad
+            // header/CRC → ZipException, truncation → EOFException); a
+            // generic IOException here is a source/output FS failure
+            // (open, create, write, close) — quarantining those
+            // permanently dropped a HEALTHY archive on a transient
+            // blip, so rethrow: the archive stays in srcDir and the
+            // next run retries it
+            case e @ (_: java.util.zip.ZipException
+                    | _: java.io.EOFException) =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               ofs.delete(staged, false)
               false
+            case e: java.io.IOException =>
+              ofs.delete(staged, false)
+              throw e
           }
         if (ok) {
           val target = new Path(outDir, outName)

@@ -185,6 +185,10 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Dedup.lshBandHashes(col("sig"), k = 16, bands = 5)
     }
+    // same class: bits=0 gave EVERY doc simhash 0 — one mega-bucket the
+    // hot-bucket cap drops wholesale, zero pairs, no error
+    intercept[IllegalArgumentException] { Dedup.simhashFromHashes(col("h"), 0) }
+    intercept[IllegalArgumentException] { Dedup.simhashFromHashes(col("h"), 65) }
   }
 
   test("incremental CC preserves standing singleton clusters the delta never touches") {

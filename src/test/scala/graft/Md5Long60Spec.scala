@@ -44,4 +44,17 @@ class Md5Long60Spec extends AnyFunSuite with BeforeAndAfterAll {
       .distinct().count()
     assert(n === 10000L) // 60-bit hash: no collisions expected at 10k
   }
+
+  test("non-binary Column-API input fails at analysis, not at runtime") {
+    // the SQL registration casts to binary; a raw expression over a
+    // string must fail NAMED at analysis instead of an executor-side
+    // ClassCastException (or a Janino failure) at first action
+    import org.apache.spark.sql.GraftColumnBridge
+    val bad = GraftColumnBridge.column(graft.functions.Md5Long60(
+      GraftColumnBridge.expression(lit("abc"))))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s").select(bad).collect()
+    }
+    assert(e.getMessage.contains("binary"))
+  }
 }

@@ -44,6 +44,16 @@ class RunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok2)
   }
 
+  test("retry: backoff cap bounds the carried delay (no Long overflow)") {
+    // pre-fix the delay doubled unboundedly: after ~57 failures it went
+    // negative and Thread.sleep threw IllegalArgumentException, masking
+    // the stage's real exception
+    val e = intercept[RuntimeException] {
+      Runner.retry(60, backoffMs = 100, maxDelayMs = 1) { sys.error("always") }
+    }
+    assert(e.getMessage === "always")
+  }
+
   test("runStages: message-less exception still yields a usable error string") {
     // bare NPE has getMessage == null; error.isDefined must imply a
     // non-empty string (pre-r11 code stored Some(null))

@@ -244,6 +244,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       === "<payload>A</payload>")
   }
 
+  test("gunzipAll: an output-side IO failure rethrows — the healthy archive is NOT quarantined") {
+    // quarantine is for CORRUPT archives; an output-FS failure (create/
+    // write/close) on a healthy one must fail the run loudly and leave
+    // the .gz in srcDir for the next run's retry — pre-fix it was
+    // renamed corrupt_* and permanently dropped from the pipeline
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def create(f: Path,
+              permission: org.apache.hadoop.fs.permission.FsPermission,
+              overwrite: Boolean, bufferSize: Int, replication: Short,
+              blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+              : org.apache.hadoop.fs.FSDataOutputStream =
+            if (f.getName.endsWith(".__extracting"))
+              throw new java.io.IOException("injected output failure")
+            else super.create(f, permission, overwrite, bufferSize,
+              replication, blockSize, progress)
+        }
+    }
+    val root = tmpDir("flwfail_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    val zos = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(root, "gz/h.xml.gz")))
+    zos.write("<h>ok</h>".getBytes); zos.close()
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    val e = intercept[java.io.IOException] {
+      fl.gunzipAll(gzDir, xmlOut, done, 31L)
+    }
+    assert(e.getMessage.contains("injected"))
+    assert(fs.exists(new Path(gzDir, "h.xml.gz")), "archive left for retry")
+    assert(!fs.exists(new Path(done, "corrupt_31_h.xml.gz")),
+      "healthy archive must not be quarantined")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
     val in = tmpDir("ddw_in_")
     val chk = tmpDir("ddw_chk_")
