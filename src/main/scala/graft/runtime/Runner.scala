@@ -29,10 +29,12 @@ object Runner {
         case Right(v) => v
         case Left(_) =>
           Thread.sleep(math.min(delay, maxDelayMs))
-          // cap the CARRIED value too: unbounded doubling overflows Long
-          // after ~57 failures and sleep(negative) throws, masking the
-          // stage's real exception
-          loop(n + 1, math.min(delay * 2, maxDelayMs))
+          // cap BEFORE doubling: unbounded doubling overflows Long after
+          // ~57 failures (and delay*2 itself overflows for huge
+          // backoffMs/maxDelayMs) — sleep(negative) would then throw,
+          // masking the stage's real exception
+          loop(n + 1,
+            if (delay >= maxDelayMs / 2) maxDelayMs else delay * 2)
       }
     }
     loop(1, backoffMs)

@@ -123,7 +123,15 @@ class FileLifecycle(conf: Configuration) {
     * a corrupt archive is QUARANTINED (`corrupt_` prefix in `doneDir`)
     * instead of aborting: the old behavior left the partial output at
     * its final name AND re-threw on the same bad file every run — a
-    * permanently wedged flow from one truncated upload.
+    * permanently wedged flow from one truncated upload. Corruption is
+    * judged by gzip-layer signals only (ZipException/EOFException); any
+    * other IOException (source block damage, output create/write/close)
+    * leaves the archive in `srcDir`, continues with the remaining
+    * archives, and rethrows AFTER the loop — a healthy archive is never
+    * quarantined for an FS blip, and one permanently-failing file
+    * cannot wedge its siblings. Delivery into `srcDir` must be ATOMIC
+    * (write elsewhere, rename in): a file read mid-upload EOFs at the
+    * gzip layer and is quarantined as corrupt.
     *
     * Collision detection is WITHIN-RUN only: `producedBy` is rebuilt per
     * invocation, so `x.gz` and `x.xml.gz` arriving in DIFFERENT runs are
@@ -148,6 +156,9 @@ class FileLifecycle(conf: Configuration) {
     // first's payload while both count as extracted — detected below
     // and preserved lossless instead
     val producedBy = scala.collection.mutable.Map.empty[String, String]
+    // non-gzip IO failures: extraction continues past them (archive left
+    // in srcDir for retry), first cause rethrown after the loop
+    val ioFailures = scala.collection.mutable.ArrayBuffer.empty[(String, java.io.IOException)]
     gzs.foreach { st =>
       val name = st.getPath.getName
       val outName =
@@ -181,7 +192,8 @@ class FileLifecycle(conf: Configuration) {
         }
       } else {
         val staged = new Path(outDir, s".${outName}.__extracting")
-        val ok =
+        // Some = extracted?; None = non-gzip IO failure (recorded above)
+        val ok: Option[Boolean] =
           try {
             val raw = sfs.open(st.getPath)
             try {
@@ -191,7 +203,7 @@ class FileLifecycle(conf: Configuration) {
               // handle leaks once per corrupt archive per run
               val in: InputStream = new GZIPInputStream(raw)
               val out = ofs.create(staged, true)
-              try { IOUtils.copyBytes(in, out, 64 * 1024); true }
+              try { IOUtils.copyBytes(in, out, 64 * 1024); Some(true) }
               finally { try in.close() finally out.close() }
             } finally raw.close() // idempotent when in.close() got there
           } catch {
@@ -200,19 +212,24 @@ class FileLifecycle(conf: Configuration) {
             // generic IOException here is a source/output FS failure
             // (open, create, write, close) — quarantining those
             // permanently dropped a HEALTHY archive on a transient
-            // blip, so rethrow: the archive stays in srcDir and the
-            // next run retries it
+            // blip. Cleanup failures ride as SUPPRESSED so the original
+            // cause is what escapes.
             case e @ (_: java.util.zip.ZipException
                     | _: java.io.EOFException) =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               ofs.delete(staged, false)
-              false
+              Some(false)
             case e: java.io.IOException =>
-              ofs.delete(staged, false)
-              throw e
+              try ofs.delete(staged, false)
+              catch { case c: java.io.IOException => e.addSuppressed(c) }
+              log.error(s"extraction of ${st.getPath} failed on a " +
+                s"non-gzip IO error (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}) — left in srcDir for retry, continuing")
+              ioFailures += ((st.getPath.toString, e))
+              None
           }
-        if (ok) {
+        if (ok.contains(true)) {
           val target = new Path(outDir, outName)
           ofs.delete(target, false) // re-extraction overwrites
           if (!ofs.rename(staged, target))
@@ -221,7 +238,7 @@ class FileLifecycle(conf: Configuration) {
           moveProcessed(st.getPath, doneDir, nowMillis)
           producedBy(outName) = name
           extracted += 1
-        } else {
+        } else if (ok.contains(false)) {
           val dfs = fs(doneDir)
           dfs.mkdirs(doneDir)
           val quarantined = new Path(doneDir, s"corrupt_${nowMillis}_$name")
@@ -238,6 +255,13 @@ class FileLifecycle(conf: Configuration) {
               "source dir and will be re-attempted every run")
         }
       }
+    }
+    // fail loud AFTER best effort: siblings extracted, failed archives
+    // still in srcDir for the next run
+    ioFailures.headOption.foreach { case (p, e) =>
+      throw new java.io.IOException(s"${ioFailures.size} archive(s) hit " +
+        s"non-gzip IO errors (left in srcDir for retry; $extracted " +
+        s"extracted); first: $p", e)
     }
     extracted
   }

@@ -258,7 +258,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
               overwrite: Boolean, bufferSize: Int, replication: Short,
               blockSize: Long, progress: org.apache.hadoop.util.Progressable)
               : org.apache.hadoop.fs.FSDataOutputStream =
-            if (f.getName.endsWith(".__extracting"))
+            if (f.getName == ".h.xml.__extracting")
               throw new java.io.IOException("injected output failure")
             else super.create(f, permission, overwrite, bufferSize,
               replication, blockSize, progress)
@@ -267,17 +267,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = tmpDir("flwfail_")
     val fs = new Path(root).getFileSystem(config)
     val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
-    val zos = new java.util.zip.GZIPOutputStream(
-      new java.io.FileOutputStream(new java.io.File(root, "gz/h.xml.gz")))
-    zos.write("<h>ok</h>".getBytes); zos.close()
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("h.xml.gz", "<h>fails</h>")
+    gz("k.xml.gz", "<k>ok</k>")
     val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
     val e = intercept[java.io.IOException] {
       fl.gunzipAll(gzDir, xmlOut, done, 31L)
     }
-    assert(e.getMessage.contains("injected"))
+    // the rethrow happens AFTER the loop (one failing file must not
+    // block its siblings) and carries the original cause
+    assert(e.getMessage.contains("left in srcDir"))
+    assert(e.getCause.getMessage === "injected output failure")
     assert(fs.exists(new Path(gzDir, "h.xml.gz")), "archive left for retry")
     assert(!fs.exists(new Path(done, "corrupt_31_h.xml.gz")),
       "healthy archive must not be quarantined")
+    // the sibling behind the failing file still extracted and archived
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "k.xml"))
+      === "<k>ok</k>")
+    assert(fs.exists(new Path(done, "processed_31_k.xml.gz")))
   }
 
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
