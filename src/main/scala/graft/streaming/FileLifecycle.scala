@@ -128,8 +128,11 @@ class FileLifecycle(conf: Configuration) {
     * other IOException (source block damage, output create/write/close)
     * leaves the archive in `srcDir`, continues with the remaining
     * archives, and rethrows AFTER the loop — a healthy archive is never
-    * quarantined for an FS blip, and one permanently-failing file
-    * cannot wedge its siblings. Delivery into `srcDir` must be ATOMIC
+    * quarantined for an FS blip, and one per-FILE extraction failure
+    * cannot wedge its siblings. (Post-extraction commit failures —
+    * rename-into-place, move-to-processed — still abort mid-loop: they
+    * indicate a misconfigured outDir/doneDir that affects every file,
+    * not a bad archive.) Delivery into `srcDir` must be ATOMIC
     * (write elsewhere, rename in): a file read mid-upload EOFs at the
     * gzip layer and is quarantined as corrupt.
     *
@@ -218,7 +221,10 @@ class FileLifecycle(conf: Configuration) {
                     | _: java.io.EOFException) =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
-              ofs.delete(staged, false)
+              try ofs.delete(staged, false)
+              catch { case c: java.io.IOException => log.warn(
+                s"staged cleanup of $staged failed (${c.getMessage}) — " +
+                "dotted debris, invisible to drains, overwritten on retry") }
               Some(false)
             case e: java.io.IOException =>
               try ofs.delete(staged, false)
@@ -227,6 +233,10 @@ class FileLifecycle(conf: Configuration) {
                 s"non-gzip IO error (${e.getClass.getSimpleName}: " +
                 s"${e.getMessage}) — left in srcDir for retry, continuing")
               ioFailures += ((st.getPath.toString, e))
+              // claim the output name anyway: a same-run sibling mapping
+              // to it is a genuine collision and must park lossless, not
+              // extract now and be silently overwritten on our retry run
+              producedBy(outName) = name
               None
           }
         if (ok.contains(true)) {

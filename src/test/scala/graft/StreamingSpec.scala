@@ -291,6 +291,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(new Path(done, "processed_31_k.xml.gz")))
   }
 
+  test("gunzipAll: a same-run sibling of an IO-failed archive parks as a collision") {
+    // x.gz IO-fails but still claims output name x.xml; x.xml.gz maps to
+    // the same output — extracting it now would be silently overwritten
+    // when x.gz retries next run, so it must be preserved lossless via
+    // the collision path instead
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def create(f: Path,
+              permission: org.apache.hadoop.fs.permission.FsPermission,
+              overwrite: Boolean, bufferSize: Int, replication: Short,
+              blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+              : org.apache.hadoop.fs.FSDataOutputStream =
+            if (f.getName == ".x.xml.__extracting")
+              throw new java.io.IOException("injected output failure")
+            else super.create(f, permission, overwrite, bufferSize,
+              replication, blockSize, progress)
+        }
+    }
+    val root = tmpDir("flsib_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("x.gz", "<a/>")     // globs first, IO-fails, claims x.xml
+    gz("x.xml.gz", "<b/>") // same output name -> collision park
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    intercept[java.io.IOException] { fl.gunzipAll(gzDir, xmlOut, done, 41L) }
+    assert(fs.exists(new Path(gzDir, "x.gz")), "failed archive retries")
+    assert(!fs.exists(new Path(xmlOut, "x.xml")), "nothing extracted to x.xml")
+    val conflicted = new Path(done, "conflict_41_x.xml.gz")
+    assert(fs.exists(conflicted), "sibling preserved lossless")
+    val in = new java.util.zip.GZIPInputStream(fs.open(conflicted))
+    val preserved = new String(in.readAllBytes()); in.close()
+    assert(preserved === "<b/>")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
     val in = tmpDir("ddw_in_")
     val chk = tmpDir("ddw_chk_")
