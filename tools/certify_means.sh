@@ -16,6 +16,22 @@ sf="${1:-/root/testdata/sf0.01}"
 outroot="${2:-/tmp/graft_certify_means}"
 cd "$(dirname "$0")/.." || exit 2
 
+# Committed-tree guard (VERDICT r12 #3): sbt compiles the WORKING tree,
+# so in-flight edits get silently certified (bit r12's round start).
+# Always name the dirty files; under GRAFT_COMMITTED_TREE=1 (the
+# round-start "this certifies the committed tree" claim) fail instead.
+dirty=$(git status --porcelain src/ build.sbt project/ 2>/dev/null)
+if [ -n "$dirty" ]; then
+    if [ "${GRAFT_COMMITTED_TREE:-0}" = "1" ]; then
+        echo "== certify_means: REFUSING a committed-tree claim on a DIRTY tree:" >&2
+        echo "$dirty" | sed 's/^/==   /' >&2
+        echo "== commit (or stash) first, or drop GRAFT_COMMITTED_TREE=1 to certify the working tree" >&2
+        exit 3
+    fi
+    echo "== certify_means: WARNING — certifying the WORKING tree; uncommitted:"
+    echo "$dirty" | sed 's/^/==   /'
+fi
+
 # The full registered query surface, pinned as a LITERAL: a query
 # dropped from BOTH SparkEntry.queries and oracleSql leaves nothing for
 # the dump-vs-oracle diff below to notice (the r6 silent-shrink class),

@@ -14,6 +14,19 @@ set -u
 root="${1:-$(dirname "$0")/..}"
 cd "$root" || exit 2
 
+# Committed-tree guard (VERDICT r12 #3): round start certifies the
+# COMMITTED tree, and every certification tool compiles the WORKING
+# tree — so the round-start chain is meaningless if editing has begun.
+# Driver artifacts (*.md/*.json in the root) don't affect compilation
+# and are exempt; anything under src/, build.sbt or project/ fails.
+dirty=$(git status --porcelain src/ build.sbt project/ 2>/dev/null)
+if [ -n "$dirty" ]; then
+    echo "== round-start gate: FAILED — the tree is already DIRTY; this gate certifies the COMMITTED tree:" >&2
+    echo "$dirty" | sed 's/^/==   /' >&2
+    exit 1
+fi
+echo "== committed-tree guard: clean (src/ build.sbt project/)"
+
 # newest two by round number (version sort: r10 > r9)
 corr=$(ls CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -2)
 set -- $corr
