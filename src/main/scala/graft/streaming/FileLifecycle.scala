@@ -124,12 +124,15 @@ class FileLifecycle(conf: Configuration) {
     * instead of aborting: the old behavior left the partial output at
     * its final name AND re-threw on the same bad file every run — a
     * permanently wedged flow from one truncated upload. Corruption is
-    * judged by gzip-layer signals only (ZipException/EOFException); any
+    * judged by gzip-layer signals only (ZipException/EOFException) AND
+    * only while the source stream stayed healthy ([[RawTap]]): HDFS/S3
+    * read paths surface transient failures (connection aborted mid-read)
+    * as EOFException too, and those must retry, not quarantine. Any
     * other IOException (source block damage, output create/write/close)
-    * leaves the archive in `srcDir`, continues with the remaining
-    * archives, and rethrows AFTER the loop — a healthy archive is never
-    * quarantined for an FS blip, and one per-FILE extraction failure
-    * cannot wedge its siblings. (Post-extraction commit failures —
+    * likewise leaves the archive in `srcDir`, continues with the
+    * remaining archives, and rethrows AFTER the loop — a healthy archive
+    * is never quarantined for an FS blip, and one per-FILE extraction
+    * failure cannot wedge its siblings. (Post-extraction commit failures —
     * rename-into-place, move-to-processed — still abort mid-loop: they
     * indicate a misconfigured outDir/doneDir that affects every file,
     * not a bad archive.) Delivery into `srcDir` must be ATOMIC
@@ -195,30 +198,39 @@ class FileLifecycle(conf: Configuration) {
         }
       } else {
         val staged = new Path(outDir, s".${outName}.__extracting")
+        // non-null once the source stream is open; its failed flag is
+        // what separates a truncated archive from a source-FS blip
+        var tap: RawTap = null
         // Some = extracted?; None = non-gzip IO failure (recorded above)
         val ok: Option[Boolean] =
           try {
             val raw = sfs.open(st.getPath)
             try {
+              tap = new RawTap(raw)
               // GZIPInputStream reads the gzip header EAGERLY in its
               // constructor — a damaged header throws right here, so
               // the raw stream must already sit under a finally or its
               // handle leaks once per corrupt archive per run
-              val in: InputStream = new GZIPInputStream(raw)
+              val in: InputStream = new GZIPInputStream(tap)
               val out = ofs.create(staged, true)
               try { IOUtils.copyBytes(in, out, 64 * 1024); Some(true) }
               finally { try in.close() finally out.close() }
             } finally raw.close() // idempotent when in.close() got there
           } catch {
             // quarantine ONLY on gzip-layer corruption signals (bad
-            // header/CRC → ZipException, truncation → EOFException); a
-            // generic IOException here is a source/output FS failure
-            // (open, create, write, close) — quarantining those
-            // permanently dropped a HEALTHY archive on a transient
-            // blip. Cleanup failures ride as SUPPRESSED so the original
-            // cause is what escapes.
+            // header/CRC → ZipException, truncation → EOFException) and
+            // ONLY when the source stream itself never failed — an
+            // EOFException the tap recorded came from the source FS
+            // (transient aborted read), not from the archive's bytes,
+            // and falls through to the retry branch below. A generic
+            // IOException here is a source/output FS failure (open,
+            // create, write, close) — quarantining those permanently
+            // dropped a HEALTHY archive on a transient blip. Cleanup
+            // failures ride as SUPPRESSED so the original cause is what
+            // escapes.
             case e @ (_: java.util.zip.ZipException
-                    | _: java.io.EOFException) =>
+                    | _: java.io.EOFException)
+                if tap != null && !tap.failed =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               try ofs.delete(staged, false)
@@ -274,6 +286,26 @@ class FileLifecycle(conf: Configuration) {
         s"extracted); first: $p", e)
     }
     extracted
+  }
+
+  /** Source-stream failure tap for [[gunzipAll]]'s corruption verdict:
+    * a truncated archive makes GZIPInputStream throw EOFException after
+    * the source stream returned a CLEAN end-of-data (-1); a transient
+    * source-FS failure (HDFS/S3 connection aborted mid-read) surfaces
+    * as an EOFException THROWN BY the source read itself. Only the
+    * former is evidence about the archive's bytes — so reads that throw
+    * set `failed`, and quarantine requires `!failed`. */
+  private final class RawTap(in: InputStream)
+      extends java.io.FilterInputStream(in) {
+    var failed = false
+    private def tapped[A](body: => A): A =
+      try body
+      catch { case e: java.io.IOException => failed = true; throw e }
+    override def read(): Int = tapped(super.read())
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      tapped(super.read(b, off, len))
+    override def skip(n: Long): Long = tapped(super.skip(n))
+    override def available(): Int = tapped(super.available())
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -332,6 +332,117 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(preserved === "<b/>")
   }
 
+  test("gunzipAll: a transient source-stream EOF retries — the archive is NOT quarantined") {
+    // An HDFS/S3 read aborted mid-stream surfaces as EOFException from
+    // the SOURCE read path — indistinguishable at the gzip layer from a
+    // truncated archive. Pre-fix the HEALTHY archive was quarantined
+    // corrupt_* and permanently dropped (this test fails on that code);
+    // now the raw-stream tap records where the EOF originated and the
+    // archive takes the left-in-srcDir retry path instead.
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def open(f: Path, bufferSize: Int)
+              : org.apache.hadoop.fs.FSDataInputStream = {
+            val real = super.open(f, bufferSize)
+            if (f.getName != "t.xml.gz") real
+            else new org.apache.hadoop.fs.FSDataInputStream(
+              // DataInputStream.read(b,off,len) is final, so the fault
+              // lives in the stream FSDataInputStream delegates to:
+              // gzip header bytes flow through single-byte read(); the
+              // first bulk body read dies like a dropped connection —
+              // AFTER GZIPInputStream construction, so the EOF escapes
+              // from inside gzip decompression
+              new java.io.InputStream with org.apache.hadoop.fs.Seekable
+                  with org.apache.hadoop.fs.PositionedReadable {
+                override def read(): Int = real.read()
+                override def read(b: Array[Byte], off: Int, len: Int): Int =
+                  throw new java.io.EOFException("injected source-FS EOF")
+                override def close(): Unit = real.close()
+                override def seek(pos: Long): Unit = real.seek(pos)
+                override def getPos(): Long = real.getPos()
+                override def seekToNewSource(p: Long): Boolean =
+                  real.seekToNewSource(p)
+                override def read(pos: Long, b: Array[Byte], off: Int,
+                    len: Int): Int = real.read(pos, b, off, len)
+                override def readFully(pos: Long, b: Array[Byte], off: Int,
+                    len: Int): Unit = real.readFully(pos, b, off, len)
+                override def readFully(pos: Long, b: Array[Byte]): Unit =
+                  real.readFully(pos, b)
+              })
+          }
+        }
+    }
+    val root = tmpDir("fleof_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("t.xml.gz", "<t>healthy</t>")
+    gz("u.xml.gz", "<u>ok</u>")
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    val e = intercept[java.io.IOException] {
+      fl.gunzipAll(gzDir, xmlOut, done, 51L)
+    }
+    // retry semantics, not corruption: rethrown after the loop with the
+    // source EOF as cause, archive still in srcDir, nothing quarantined
+    assert(e.getMessage.contains("left in srcDir"))
+    assert(e.getCause.isInstanceOf[java.io.EOFException])
+    assert(fs.exists(new Path(gzDir, "t.xml.gz")), "archive left for retry")
+    assert(fs.globStatus(new Path(done, "corrupt_*")) == null ||
+      fs.globStatus(new Path(done, "corrupt_*")).isEmpty,
+      "transient source EOF must not quarantine a healthy archive")
+    // the sibling behind the failing file still extracted and archived
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "u.xml"))
+      === "<u>ok</u>")
+    assert(fs.exists(new Path(done, "processed_51_u.xml.gz")))
+  }
+
+  test("gunzipAll: a rename-into-place failure on a HEALTHY extraction aborts mid-loop") {
+    // Post-extraction commit failures are directory-level — a
+    // misconfigured outDir/doneDir affects every file, so unlike
+    // per-file extraction failures the run aborts immediately (the
+    // scoping contract documented at the rename-into-place site).
+    // A continue-past version would extract the second archive too —
+    // this test fails on that code.
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def rename(src: Path, dst: Path): Boolean =
+            if (src.getName.endsWith(".__extracting")) false
+            else super.rename(src, dst)
+        }
+    }
+    val root = tmpDir("flabort_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("a.xml.gz", "<a/>") // globs first: extracts fine, commit rename fails
+    gz("b.xml.gz", "<b/>") // must never be attempted
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    val e = intercept[java.io.IOException] {
+      fl.gunzipAll(gzDir, xmlOut, done, 61L)
+    }
+    assert(e.getMessage.contains("failed after extraction"))
+    // mid-loop abort: both archives still in srcDir, the second one
+    // untouched; nothing quarantined or processed
+    assert(fs.exists(new Path(gzDir, "a.xml.gz")))
+    assert(fs.exists(new Path(gzDir, "b.xml.gz")))
+    assert(!fs.exists(new Path(xmlOut, "a.xml")))
+    assert(!fs.exists(new Path(xmlOut, "b.xml")), "abort must be mid-loop")
+    assert(fs.globStatus(new Path(done, "*")) == null ||
+      fs.globStatus(new Path(done, "*")).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: entry evicted after the delay") {
     val in = tmpDir("ddw_in_")
     val chk = tmpDir("ddw_chk_")
