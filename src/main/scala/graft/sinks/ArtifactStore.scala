@@ -123,7 +123,9 @@ object ArtifactStore {
     * INSIDE the winner's artifact (un-nested below). Retire is
     * best-effort (a FALSE surfaces as the commit rename failing);
     * `.old` is deleted only when a fresh retire needs the name — an
-    * ABORTED commit leaves it recoverable. */
+    * ABORTED commit best-effort restores it to `target` (failed save
+    * degrades to the pre-save state, not no-artifact-plus-rebuild);
+    * only if that rename fails too does `.old` linger for recovery. */
   private[graft] def commitStaged(fs: FileSystem, target: Path,
       staging: Path): Unit = {
     val retired = new Path(target.getParent, s".${target.getName}.old")
@@ -141,7 +143,13 @@ object ArtifactStore {
       if (!committed) {
         if (fs.exists(nested)) require(fs.rename(nested, staging),
           s"could not recover $nested after a lost commit race")
-        require(attempt < 5, s"could not commit $staging -> $target")
+        if (attempt >= 5) {
+          // restore the retired prior: without it the next restart
+          // rebuilds at hours-scale with a valid prior one rename away
+          if (!fs.exists(target)) fs.rename(retired, target)
+          throw new IllegalArgumentException(
+            s"requirement failed: could not commit $staging -> $target")
+        }
       }
     }
     fs.delete(retired, true)

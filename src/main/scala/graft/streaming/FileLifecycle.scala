@@ -125,14 +125,14 @@ class FileLifecycle(conf: Configuration) {
     * its final name AND re-threw on the same bad file every run — a
     * permanently wedged flow from one truncated upload. Corruption is
     * judged by gzip-layer signals only (ZipException/EOFException) AND
-    * only while the source stream stayed healthy ([[RawTap]]): HDFS/S3
-    * read paths surface transient failures (connection aborted mid-read)
-    * as EOFException too, and those must retry, not quarantine. Any
-    * other IOException (source block damage, output create/write/close)
-    * likewise leaves the archive in `srcDir`, continues with the
-    * remaining archives, and rethrows AFTER the loop — a healthy archive
-    * is never quarantined for an FS blip, and one per-FILE extraction
-    * failure cannot wedge its siblings. (Post-extraction commit failures —
+    * only while the source stream stayed healthy ([[RawTap]] — HDFS/S3
+    * read paths surface transient failures as EOFException too, and
+    * those must retry, not quarantine). Any other IOException (source
+    * block damage, output create/write/close) likewise leaves the
+    * archive in `srcDir`, continues with the remaining archives, and
+    * rethrows AFTER the loop — a healthy archive is never quarantined
+    * for an FS blip, and one per-FILE extraction failure cannot wedge
+    * its siblings. (Post-extraction commit failures —
     * rename-into-place, move-to-processed — still abort mid-loop: they
     * indicate a misconfigured outDir/doneDir that affects every file,
     * not a bad archive.) Delivery into `srcDir` must be ATOMIC
@@ -198,9 +198,7 @@ class FileLifecycle(conf: Configuration) {
         }
       } else {
         val staged = new Path(outDir, s".${outName}.__extracting")
-        // non-null once the source stream is open; its failed flag is
-        // what separates a truncated archive from a source-FS blip
-        var tap: RawTap = null
+        var tap: RawTap = null // non-null once the source stream is open
         // Some = extracted?; None = non-gzip IO failure (recorded above)
         val ok: Option[Boolean] =
           try {
@@ -219,15 +217,11 @@ class FileLifecycle(conf: Configuration) {
           } catch {
             // quarantine ONLY on gzip-layer corruption signals (bad
             // header/CRC → ZipException, truncation → EOFException) and
-            // ONLY when the source stream itself never failed — an
-            // EOFException the tap recorded came from the source FS
-            // (transient aborted read), not from the archive's bytes,
-            // and falls through to the retry branch below. A generic
-            // IOException here is a source/output FS failure (open,
-            // create, write, close) — quarantining those permanently
-            // dropped a HEALTHY archive on a transient blip. Cleanup
-            // failures ride as SUPPRESSED so the original cause is what
-            // escapes.
+            // ONLY when the source stream never failed — a tapped EOF
+            // came from the source FS, not the archive's bytes, and
+            // falls to the retry branch below like any other FS failure:
+            // quarantining those permanently dropped a HEALTHY archive
+            // on a transient blip. Cleanup rides as SUPPRESSED.
             case e @ (_: java.util.zip.ZipException
                     | _: java.io.EOFException)
                 if tap != null && !tap.failed =>
@@ -289,12 +283,10 @@ class FileLifecycle(conf: Configuration) {
   }
 
   /** Source-stream failure tap for [[gunzipAll]]'s corruption verdict:
-    * a truncated archive makes GZIPInputStream throw EOFException after
-    * the source stream returned a CLEAN end-of-data (-1); a transient
-    * source-FS failure (HDFS/S3 connection aborted mid-read) surfaces
-    * as an EOFException THROWN BY the source read itself. Only the
-    * former is evidence about the archive's bytes — so reads that throw
-    * set `failed`, and quarantine requires `!failed`. */
+    * a truncated archive EOFs at the gzip layer AFTER a clean source
+    * end-of-data (-1); a transient source-FS failure (HDFS/S3 read
+    * aborted) is an EOFException THROWN BY the source read itself —
+    * only the former judges the archive's bytes. */
   private final class RawTap(in: InputStream)
       extends java.io.FilterInputStream(in) {
     var failed = false
@@ -304,8 +296,6 @@ class FileLifecycle(conf: Configuration) {
     override def read(): Int = tapped(super.read())
     override def read(b: Array[Byte], off: Int, len: Int): Int =
       tapped(super.read(b, off, len))
-    override def skip(n: Long): Long = tapped(super.skip(n))
-    override def available(): Int = tapped(super.available())
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -415,6 +415,26 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "abort deleted the .old recovery copy of the prior artifact")
   }
 
+  test("an aborted commit restores the retired prior artifact to target") {
+    val (fs, target, staging) = stagedCommit("restore")
+    // only the staging->target commit rename fails; the retire and the
+    // abort-path restore can succeed — the failed save must degrade to
+    // the PRE-SAVE state (prior artifact back at target), not to
+    // no-artifact-plus-.old: exists() false on the next restart forced
+    // an hours-scale rebuild with a valid prior one rename away
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false else super.rename(s, d)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    assert(fs.exists(new HPath(target, "member.bin")),
+      "abort must restore the retired prior artifact to target")
+    assert(!fs.exists(new HPath(target.getParent, ".a.old")),
+      "the restore is a rename — .old must not linger as a stale copy")
+  }
+
   test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
     val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
     val snap = CorpusSnapshot(7, 77)
