@@ -145,10 +145,20 @@ object ArtifactStore {
           s"could not recover $nested after a lost commit race")
         if (attempt >= 5) {
           // restore the retired prior: without it the next restart
-          // rebuilds at hours-scale with a valid prior one rename away
-          if (!fs.exists(target)) fs.rename(retired, target)
-          throw new IllegalArgumentException(
+          // rebuilds at hours-scale with a valid prior one rename away.
+          // Truly best-effort — a THROWING rename (HDFS safe mode) rides
+          // as suppressed, and a restore losing a race to a late
+          // committer (HDFS nests it INSIDE the winner) un-nests to .old
+          val abort = new IllegalArgumentException(
             s"requirement failed: could not commit $staging -> $target")
+          val nestedOld = new Path(target, retired.getName)
+          try {
+            if (!fs.exists(target) && fs.rename(retired, target) &&
+                fs.exists(nestedOld))
+              require(fs.rename(nestedOld, retired),
+                s"could not un-nest $nestedOld after a lost restore race")
+          } catch { case e: Exception => abort.addSuppressed(e) }
+          throw abort
         }
       }
     }

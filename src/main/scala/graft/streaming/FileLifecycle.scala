@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.hadoop.io.IOUtils
 
 import java.io.InputStream
 import java.security.MessageDigest
@@ -199,32 +198,39 @@ class FileLifecycle(conf: Configuration) {
       } else {
         val staged = new Path(outDir, s".${outName}.__extracting")
         var tap: RawTap = null // non-null once the source stream is open
+        var corrupt = false    // a gzip-layer read judged the bytes bad
         // Some = extracted?; None = non-gzip IO failure (recorded above)
         val ok: Option[Boolean] =
           try {
             val raw = sfs.open(st.getPath)
             try {
               tap = new RawTap(raw)
-              // GZIPInputStream reads the gzip header EAGERLY in its
-              // constructor — a damaged header throws right here, so
-              // the raw stream must already sit under a finally or its
-              // handle leaks once per corrupt archive per run
-              val in: InputStream = new GZIPInputStream(tap)
+              // corruption evidence is POSITIVE: only a ZipException/
+              // EOFException escaping a gzip-layer READ — the EAGER
+              // header parse in the constructor (hence raw already under
+              // a finally, or its handle leaks per corrupt archive per
+              // run) or a body inflate — with healthy source reads
+              // judges the bytes; an output/close() EOF must NOT.
+              def gzRead[A](body: => A): A =
+                try body
+                catch { case e @ (_: java.util.zip.ZipException
+                                | _: java.io.EOFException)
+                    if !tap.failed => corrupt = true; throw e }
+              val in: InputStream = gzRead(new GZIPInputStream(tap))
               val out = ofs.create(staged, true)
-              try { IOUtils.copyBytes(in, out, 64 * 1024); Some(true) }
-              finally { try in.close() finally out.close() }
+              try {
+                val buf = new Array[Byte](64 * 1024)
+                var n = gzRead(in.read(buf))
+                while (n >= 0) { out.write(buf, 0, n); n = gzRead(in.read(buf)) }
+                Some(true)
+              } finally { try in.close() finally out.close() }
             } finally raw.close() // idempotent when in.close() got there
           } catch {
-            // quarantine ONLY on gzip-layer corruption signals (bad
-            // header/CRC → ZipException, truncation → EOFException) and
-            // ONLY when the source stream never failed — a tapped EOF
-            // came from the source FS, not the archive's bytes, and
-            // falls to the retry branch below like any other FS failure:
-            // quarantining those permanently dropped a HEALTHY archive
-            // on a transient blip. Cleanup rides as SUPPRESSED.
-            case e @ (_: java.util.zip.ZipException
-                    | _: java.io.EOFException)
-                if tap != null && !tap.failed =>
+            // quarantining non-corruption failures (source/output FS —
+            // open/create/write/close) permanently dropped a HEALTHY
+            // archive on a transient blip: only positive gzip evidence
+            // quarantines, all else retries. Cleanup rides SUPPRESSED.
+            case e: java.io.IOException if corrupt =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               try ofs.delete(staged, false)

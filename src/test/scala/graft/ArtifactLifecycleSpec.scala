@@ -435,6 +435,52 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the restore is a rename — .old must not linger as a stale copy")
   }
 
+  test("a THROWING abort-path restore rides as suppressed; the commit failure escapes") {
+    val (fs, target, staging) = stagedCommit("supp")
+    // HDFS in safe mode THROWS from rename instead of returning false.
+    // The restore is best-effort: its exception must not replace the
+    // IllegalArgumentException naming the commit failure (pre-fix the
+    // bare rename let the IOException escape), and .old must survive
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false
+        else if (s.getName == ".a.old" && d == target)
+          throw new java.io.IOException("injected safe-mode rename")
+        else super.rename(s, d)
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    assert(e.getMessage.contains("could not commit"))
+    assert(e.getSuppressed.exists(_.getMessage == "injected safe-mode rename"))
+    assert(fs.exists(new HPath(target.getParent, ".a.old/member.bin")),
+      "failed restore must leave .old recoverable")
+  }
+
+  test("an abort-path restore that loses a late commit race is un-nested back to .old") {
+    val (fs, target, staging) = stagedCommit("nest")
+    // between the restore's exists() check and its rename, a concurrent
+    // committer re-creates target; HDFS rename 'succeeds' by NESTING the
+    // retired prior INSIDE the live winner — it must be un-nested back
+    // to .old, not left as debris inside another writer's artifact
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false
+        else if (s.getName == ".a.old" && d == target) {
+          fs.mkdirs(target) // the concurrent commit wins the race here
+          super.rename(s, new HPath(target, s.getName))
+        }
+        else super.rename(s, d)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    assert(!fs.exists(new HPath(target, ".a.old")),
+      "the nested restore must not pollute the winner's live artifact")
+    assert(fs.exists(new HPath(target.getParent, ".a.old/member.bin")),
+      "the lost restore must land back at .old, recoverable")
+  }
+
   test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
     val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
     val snap = CorpusSnapshot(7, 77)

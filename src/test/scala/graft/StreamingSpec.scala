@@ -402,6 +402,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(new Path(done, "processed_51_u.xml.gz")))
   }
 
+  test("gunzipAll: an output-side EOF retries — corruption needs gzip-READ evidence") {
+    // HDFS write pipelines surface failures as EOFException from the
+    // OUTPUT stream ('Premature EOF: no length prefix available').
+    // Quarantine is judged by positive gzip-layer READ evidence, so an
+    // output EOF on a healthy archive must take the retry path — a
+    // type-only EOF match quarantined it (this test fails on that code).
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def create(f: Path,
+              permission: org.apache.hadoop.fs.permission.FsPermission,
+              overwrite: Boolean, bufferSize: Int, replication: Short,
+              blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+              : org.apache.hadoop.fs.FSDataOutputStream = {
+            val real = super.create(f, permission, overwrite, bufferSize,
+              replication, blockSize, progress)
+            if (f.getName != ".w.xml.__extracting") real
+            else new org.apache.hadoop.fs.FSDataOutputStream(
+              new java.io.OutputStream {
+                override def write(b: Int): Unit =
+                  throw new java.io.EOFException("injected output EOF")
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  throw new java.io.EOFException("injected output EOF")
+                override def close(): Unit = real.close()
+              }, null)
+          }
+        }
+    }
+    val root = tmpDir("floeof_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("w.xml.gz", "<w>healthy</w>")
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    val e = intercept[java.io.IOException] {
+      fl.gunzipAll(gzDir, xmlOut, done, 55L)
+    }
+    assert(e.getMessage.contains("left in srcDir"))
+    assert(e.getCause.isInstanceOf[java.io.EOFException])
+    assert(fs.exists(new Path(gzDir, "w.xml.gz")), "archive left for retry")
+    assert(fs.globStatus(new Path(done, "corrupt_*")) == null ||
+      fs.globStatus(new Path(done, "corrupt_*")).isEmpty,
+      "an output-side EOF must not quarantine a healthy archive")
+  }
+
   test("gunzipAll: a rename-into-place failure on a HEALTHY extraction aborts mid-loop") {
     // Post-extraction commit failures are directory-level — a
     // misconfigured outDir/doneDir affects every file, so unlike

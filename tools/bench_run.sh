@@ -23,7 +23,12 @@ if [ "$rc" -ne 0 ]; then
     tail -20 "$log" >&2
     exit "$rc"
 fi
-# the file already holds everything; extracting from it loses nothing
-grep '"metric"' "$log" | tail -1
+# the file already holds everything; extracting from it loses nothing —
+# but an sbt rc=0 run with NO metric line is a no-data non-success
+if ! grep '"metric"' "$log" | tail -1 | grep '"metric"'; then
+    echo "== bench produced NO metric line (rc=0) — tail of $log:" >&2
+    tail -20 "$log" >&2
+    exit 1
+fi
 echo "== full bench output: $log"
 exit 0

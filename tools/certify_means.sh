@@ -20,7 +20,12 @@ cd "$(dirname "$0")/.." || exit 2
 # so in-flight edits get silently certified (bit r12's round start).
 # Always name the dirty files; under GRAFT_COMMITTED_TREE=1 (the
 # round-start "this certifies the committed tree" claim) fail instead.
-dirty=$(git status --porcelain src/ build.sbt project/ 2>/dev/null)
+# fail CLOSED: a failing git (no .git, corrupted repo, git off PATH)
+# exits non-zero with empty stdout — that is NOT a clean tree
+if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>&1); then
+    echo "== certify_means: git status itself failed: $dirty" >&2
+    exit 3
+fi
 if [ -n "$dirty" ]; then
     if [ "${GRAFT_COMMITTED_TREE:-0}" = "1" ]; then
         echo "== certify_means: REFUSING a committed-tree claim on a DIRTY tree:" >&2

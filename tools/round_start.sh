@@ -19,7 +19,12 @@ cd "$root" || exit 2
 # tree — so the round-start chain is meaningless if editing has begun.
 # Driver artifacts (*.md/*.json in the root) don't affect compilation
 # and are exempt; anything under src/, build.sbt or project/ fails.
-dirty=$(git status --porcelain src/ build.sbt project/ 2>/dev/null)
+# fail CLOSED: a failing git (no .git, corrupted repo, git off PATH)
+# exits non-zero with empty stdout — that is NOT a clean tree
+if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>&1); then
+    echo "== round-start gate: FAILED — git status itself failed: $dirty" >&2
+    exit 1
+fi
 if [ -n "$dirty" ]; then
     echo "== round-start gate: FAILED — the tree is already DIRTY; this gate certifies the COMMITTED tree:" >&2
     echo "$dirty" | sed 's/^/==   /' >&2
