@@ -122,46 +122,46 @@ object ArtifactStore {
     * renames return FALSE; HDFS "succeeds" by nesting our staging
     * INSIDE the winner's artifact (un-nested below). Retire is
     * best-effort (a FALSE surfaces as the commit rename failing);
-    * `.old` is deleted only when a fresh retire needs the name — an
-    * ABORTED commit best-effort restores it to `target` (failed save
-    * degrades to the pre-save state, not no-artifact-plus-rebuild);
+    * `.old` is deleted only when a fresh retire needs the name — ANY
+    * failed-commit escape best-effort restores it to `target` (failed
+    * save degrades to the pre-save state, not no-artifact-plus-rebuild);
     * only if that rename fails too does `.old` linger for recovery. */
   private[graft] def commitStaged(fs: FileSystem, target: Path,
       staging: Path): Unit = {
     val retired = new Path(target.getParent, s".${target.getName}.old")
     val nested = new Path(target, staging.getName)
+    // restore the retired prior on ANY failed-commit escape (bounded
+    // abort or a mid-loop throwing FS op, e.g. HDFS safe mode): without
+    // it the next restart rebuilds at hours-scale with a valid prior one
+    // rename away. Truly best-effort — a THROWING restore rides as
+    // suppressed on the commit failure, and a restore losing a race to
+    // a late committer (HDFS nests it INSIDE the winner) un-nests back
+    val nestedOld = new Path(target, retired.getName)
+    def restorePrior(cause: Throwable): Unit =
+      try {
+        if (!fs.exists(target) && fs.rename(retired, target) &&
+            fs.exists(nestedOld))
+          require(fs.rename(nestedOld, retired),
+            s"could not un-nest $nestedOld after a lost restore race")
+      } catch { case e: Exception => cause.addSuppressed(e) }
     var attempt = 0; var committed = false
-    while (!committed) {
-      attempt += 1
-      if (fs.exists(target)) {
-        fs.delete(retired, true); fs.rename(target, retired)
-      }
-      // target still occupied (unretirable / concurrently re-created):
-      // don't rename onto it — HDFS would nest INTO the LIVE artifact
-      committed = !fs.exists(target) && fs.rename(staging, target) &&
-        !fs.exists(nested)
-      if (!committed) {
-        if (fs.exists(nested)) require(fs.rename(nested, staging),
-          s"could not recover $nested after a lost commit race")
-        if (attempt >= 5) {
-          // restore the retired prior: without it the next restart
-          // rebuilds at hours-scale with a valid prior one rename away.
-          // Truly best-effort — a THROWING rename (HDFS safe mode) rides
-          // as suppressed, and a restore losing a race to a late
-          // committer (HDFS nests it INSIDE the winner) un-nests to .old
-          val abort = new IllegalArgumentException(
-            s"requirement failed: could not commit $staging -> $target")
-          val nestedOld = new Path(target, retired.getName)
-          try {
-            if (!fs.exists(target) && fs.rename(retired, target) &&
-                fs.exists(nestedOld))
-              require(fs.rename(nestedOld, retired),
-                s"could not un-nest $nestedOld after a lost restore race")
-          } catch { case e: Exception => abort.addSuppressed(e) }
-          throw abort
+    try {
+      while (!committed) {
+        attempt += 1
+        if (fs.exists(target)) {
+          fs.delete(retired, true); fs.rename(target, retired)
+        }
+        // target still occupied (unretirable / concurrently re-created):
+        // don't rename onto it — HDFS would nest INTO the LIVE artifact
+        committed = !fs.exists(target) && fs.rename(staging, target) &&
+          !fs.exists(nested)
+        if (!committed) {
+          if (fs.exists(nested)) require(fs.rename(nested, staging),
+            s"could not recover $nested after a lost commit race")
+          require(attempt < 5, s"could not commit $staging -> $target")
         }
       }
-    }
+    } catch { case e: Throwable => restorePrior(e); throw e }
     fs.delete(retired, true)
   }
 

@@ -481,6 +481,32 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the lost restore must land back at .old, recoverable")
   }
 
+  test("a mid-loop THROWING FS op also restores the retired prior before escaping") {
+    val (fs, target, staging) = stagedCommit("midthrow")
+    // the restore must cover EVERY failed-commit escape, not only the
+    // bounded attempt>=5 abort: attempt 1 retires the prior and loses
+    // the commit rename; attempt 2's rename THROWS (HDFS safe mode).
+    // Pre-fix the IOException escaped with the prior stranded at .old
+    // and target absent — the rebuild-despite-valid-prior state
+    var calls = 0
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) {
+          calls += 1
+          if (calls == 1) false
+          else throw new java.io.IOException("injected mid-loop rename throw")
+        } else super.rename(s, d)
+    }
+    val e = intercept[java.io.IOException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    assert(e.getMessage === "injected mid-loop rename throw",
+      "the original mid-loop failure must be what escapes")
+    assert(fs.exists(new HPath(target, "member.bin")),
+      "a mid-loop escape must restore the retired prior to target")
+    assert(!fs.exists(new HPath(target.getParent, ".a.old")))
+  }
+
   test("a save is all-or-nothing: a failed writer leaves the prior artifact intact") {
     val dir = Files.createTempDirectory("graft_art_atomic_").toString + "/a"
     val snap = CorpusSnapshot(7, 77)

@@ -25,10 +25,12 @@ if [ "$rc" -ne 0 ]; then
 fi
 # the file already holds everything; extracting from it loses nothing —
 # but an sbt rc=0 run with NO metric line is a no-data non-success
-if ! grep '"metric"' "$log" | tail -1 | grep '"metric"'; then
+metric=$(grep '"metric"' "$log" | tail -1)
+if [ -z "$metric" ]; then
     echo "== bench produced NO metric line (rc=0) — tail of $log:" >&2
     tail -20 "$log" >&2
     exit 1
 fi
+echo "$metric"
 echo "== full bench output: $log"
 exit 0

@@ -21,11 +21,16 @@ cd "$(dirname "$0")/.." || exit 2
 # Always name the dirty files; under GRAFT_COMMITTED_TREE=1 (the
 # round-start "this certifies the committed tree" claim) fail instead.
 # fail CLOSED: a failing git (no .git, corrupted repo, git off PATH)
-# exits non-zero with empty stdout — that is NOT a clean tree
-if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>&1); then
-    echo "== certify_means: git status itself failed: $dirty" >&2
+# exits non-zero with empty stdout — that is NOT a clean tree. stderr
+# stays separate so a success-path git warning can't masquerade as a
+# dirty file list.
+giterr="${TMPDIR:-/tmp}/certify_means_giterr.$$"
+if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>"$giterr"); then
+    echo "== certify_means: git status itself failed:" >&2
+    cat "$giterr" >&2; rm -f "$giterr"
     exit 3
 fi
+rm -f "$giterr"
 if [ -n "$dirty" ]; then
     if [ "${GRAFT_COMMITTED_TREE:-0}" = "1" ]; then
         echo "== certify_means: REFUSING a committed-tree claim on a DIRTY tree:" >&2

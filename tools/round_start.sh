@@ -20,11 +20,16 @@ cd "$root" || exit 2
 # Driver artifacts (*.md/*.json in the root) don't affect compilation
 # and are exempt; anything under src/, build.sbt or project/ fails.
 # fail CLOSED: a failing git (no .git, corrupted repo, git off PATH)
-# exits non-zero with empty stdout — that is NOT a clean tree
-if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>&1); then
-    echo "== round-start gate: FAILED — git status itself failed: $dirty" >&2
+# exits non-zero with empty stdout — that is NOT a clean tree. stderr
+# stays separate so a success-path git warning can't masquerade as a
+# dirty file list.
+giterr="${TMPDIR:-/tmp}/round_start_giterr.$$"
+if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>"$giterr"); then
+    echo "== round-start gate: FAILED — git status itself failed:" >&2
+    cat "$giterr" >&2; rm -f "$giterr"
     exit 1
 fi
+rm -f "$giterr"
 if [ -n "$dirty" ]; then
     echo "== round-start gate: FAILED — the tree is already DIRTY; this gate certifies the COMMITTED tree:" >&2
     echo "$dirty" | sed 's/^/==   /' >&2
