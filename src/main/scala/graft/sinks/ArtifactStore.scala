@@ -133,8 +133,9 @@ object ArtifactStore {
     // restore the retired prior on ANY failed-commit escape (bounded
     // abort or a mid-loop throwing FS op, e.g. HDFS safe mode): without
     // it the next restart rebuilds at hours-scale with a valid prior one
-    // rename away. Truly best-effort — a THROWING restore rides as
-    // suppressed on the commit failure, and a restore losing a race to
+    // rename away. Truly best-effort — a THROWING restore (Throwable —
+    // even an Error must not replace the commit failure) rides as
+    // suppressed, and a restore losing a race to
     // a late committer (HDFS nests it INSIDE the winner) un-nests back
     val nestedOld = new Path(target, retired.getName)
     def restorePrior(cause: Throwable): Unit =
@@ -143,7 +144,7 @@ object ArtifactStore {
             fs.exists(nestedOld))
           require(fs.rename(nestedOld, retired),
             s"could not un-nest $nestedOld after a lost restore race")
-      } catch { case e: Exception => cause.addSuppressed(e) }
+      } catch { case e: Throwable => cause.addSuppressed(e) }
     var attempt = 0; var committed = false
     try {
       while (!committed) {

@@ -229,8 +229,10 @@ class FileLifecycle(conf: Configuration) {
             // quarantining non-corruption failures (source/output FS —
             // open/create/write/close) permanently dropped a HEALTHY
             // archive on a transient blip: only positive gzip evidence
-            // quarantines, all else retries. Cleanup rides SUPPRESSED.
-            case e: java.io.IOException if corrupt =>
+            // quarantines, keyed on the corrupt FLAG, not the escaping
+            // type (a cleanup close() RuntimeException can win the
+            // finally race) — all else retries. Cleanup SUPPRESSED.
+            case e: Exception if corrupt =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               try ofs.delete(staged, false)
@@ -291,17 +293,20 @@ class FileLifecycle(conf: Configuration) {
   /** Source-stream failure tap for [[gunzipAll]]'s corruption verdict:
     * a truncated archive EOFs at the gzip layer AFTER a clean source
     * end-of-data (-1); a transient source-FS failure (HDFS/S3 read
-    * aborted) is an EOFException THROWN BY the source read itself —
-    * only the former judges the archive's bytes. */
-  private final class RawTap(in: InputStream)
+    * aborted) is ANY throwable from the source read/skip itself
+    * (wrapped FS clients throw RuntimeException too) — only the former
+    * judges the bytes. JDK gzip streams drive the raw stream only
+    * through read() today; skip() is tapped against a future JDK. */
+  private[graft] final class RawTap(in: InputStream)
       extends java.io.FilterInputStream(in) {
     var failed = false
     private def tapped[A](body: => A): A =
       try body
-      catch { case e: java.io.IOException => failed = true; throw e }
+      catch { case e: Throwable => failed = true; throw e }
     override def read(): Int = tapped(super.read())
     override def read(b: Array[Byte], off: Int, len: Int): Int =
       tapped(super.read(b, off, len))
+    override def skip(n: Long): Long = tapped(super.skip(n))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -457,6 +457,31 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "failed restore must leave .old recoverable")
   }
 
+  test("an ERROR thrown by the abort-path restore also rides as suppressed") {
+    val (fs, target, staging) = stagedCommit("err")
+    // restorePrior is truly best-effort: an FS client surfacing a
+    // LinkageError/OOM-class Error mid-restore must not REPLACE the
+    // commit failure (pre-fix the restore caught only Exception, so an
+    // Error escaped and the caller saw the restore's crash instead of
+    // the commit failure it has to report — this test fails on that
+    // code with the LinkageError escaping)
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false
+        else if (s.getName == ".a.old" && d == target)
+          throw new LinkageError("injected restore error")
+        else super.rename(s, d)
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    assert(e.getMessage.contains("could not commit"),
+      "the commit failure must be what escapes, not the restore Error")
+    assert(e.getSuppressed.exists(_.getMessage == "injected restore error"))
+    assert(fs.exists(new HPath(target.getParent, ".a.old/member.bin")),
+      "failed restore must leave .old recoverable")
+  }
+
   test("an abort-path restore that loses a late commit race is un-nested back to .old") {
     val (fs, target, staging) = stagedCommit("nest")
     // between the restore's exists() check and its rename, a concurrent

@@ -452,6 +452,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an output-side EOF must not quarantine a healthy archive")
   }
 
+  test("gunzipAll: positive gzip evidence quarantines even when a cleanup exception wins the finally race") {
+    // A truncated archive marks corrupt=true on the gzip-layer read,
+    // but the staged output's close() (in the finally) can THROW a
+    // RuntimeException that REPLACES the gzip error. Quarantine is
+    // keyed on the corrupt flag, not the escaping exception's type —
+    // pre-fix the IOException-only match let the RuntimeException
+    // abort the whole run mid-loop and the corrupt archive was
+    // retried forever, the wedged-flow class this path exists to
+    // prevent (this test fails on that code with the injected
+    // RuntimeException escaping).
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def create(f: Path,
+              permission: org.apache.hadoop.fs.permission.FsPermission,
+              overwrite: Boolean, bufferSize: Int, replication: Short,
+              blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+              : org.apache.hadoop.fs.FSDataOutputStream = {
+            val real = super.create(f, permission, overwrite, bufferSize,
+              replication, blockSize, progress)
+            if (f.getName != ".c.xml.__extracting") real
+            else new org.apache.hadoop.fs.FSDataOutputStream(
+              new java.io.OutputStream {
+                override def write(b: Int): Unit = real.write(b)
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  real.write(b, off, len)
+                override def close(): Unit =
+                  throw new RuntimeException("injected close failure")
+              }, null)
+          }
+        }
+    }
+    val root = tmpDir("flrace_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    // c.xml.gz: valid gzip truncated mid-body (trailer + tail cut), so
+    // the EOF escapes a gzip READ with a healthy source = corrupt
+    val full = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.GZIPOutputStream(bos)
+      zos.write("<c>corrupt payload long enough to truncate</c>".getBytes)
+      zos.close(); bos.toByteArray
+    }
+    Files.write(java.nio.file.Paths.get(root, "gz", "c.xml.gz"),
+      full.take(full.length - 10))
+    val good = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(root, "gz/d.xml.gz")))
+    good.write("<d>ok</d>".getBytes); good.close()
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    // no throw: c quarantined, d extracted — the flow never wedges
+    assert(fl.gunzipAll(gzDir, xmlOut, done, 77L) === 1)
+    assert(fs.exists(new Path(done, "corrupt_77_c.xml.gz")))
+    assert(!fs.exists(new Path(gzDir, "c.xml.gz")))
+    assert(Files.readString(
+      java.nio.file.Paths.get(root, "xml", "d.xml")) === "<d>ok</d>")
+  }
+
+  test("RawTap records a source failure on ANY throwable, and taps skip()") {
+    // Wrapped FS clients throw RuntimeException from read; a future
+    // JDK may route gzip header skips through skip(). Both must mark
+    // the tap failed or a transient source failure surfacing at the
+    // gzip layer quarantines a HEALTHY archive (pre-fix: IOException-
+    // only tap on read/read(b,off,len) — this test fails on that code).
+    val fl = new FileLifecycle(new Configuration())
+    val t1 = new fl.RawTap(new java.io.InputStream {
+      override def read(): Int = throw new RuntimeException("rt read")
+    })
+    intercept[RuntimeException](t1.read())
+    assert(t1.failed, "a RuntimeException source read must mark failed")
+    val t2 = new fl.RawTap(new java.io.InputStream {
+      override def read(): Int = -1
+      override def skip(n: Long): Long =
+        throw new java.io.IOException("io skip")
+    })
+    intercept[java.io.IOException](t2.skip(4L))
+    assert(t2.failed, "skip() must be tapped like read()")
+  }
+
   test("gunzipAll: a rename-into-place failure on a HEALTHY extraction aborts mid-loop") {
     // Post-extraction commit failures are directory-level — a
     // misconfigured outDir/doneDir affects every file, so unlike
