@@ -60,6 +60,24 @@ object ScaleProbe {
     * reproduces the base corpus's internal structure — the constant-
     * density property all probe conclusions rest on
     * (`ScaleProbeSpec` pins it). */
+  /** Embedding replica `i`: rotation r = 1 + (i % (dim-1)) while
+    * i < dim (the r7–r13 record, byte-identical); i >= dim composes a
+    * coordinate REVERSAL (a fixed permutation — within-replica inner
+    * products survive) with an i % dim rotation — collision-free
+    * through 2*dim, past which transforms repeat and the constant-
+    * density property breaks (runFactor fails loudly; spec-pinned). */
+  def embeddingReplica(emb: DataFrame, i: Int, dim: Int): DataFrame =
+    if (i == 0) emb
+    else {
+      val v = if (i < dim) col("embedding") else reverse(col("embedding"))
+      val r = if (i < dim) 1 + (i % (dim - 1)) else i % dim
+      emb.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        (if (r == 0) v
+         else concat(slice(v, r + 1, dim), slice(v, 1, r))).as("embedding"),
+        col("label"))
+    }
+
   def perturbedReplica(docs: DataFrame, i: Int): DataFrame =
     if (i == 0) docs
     else docs.select(
@@ -94,24 +112,10 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(docsPath)
       val emb = Tables.embeddings(s, base)
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      // Rotation r = 1 + (i % (dim-1)) is collision-free only while
-      // i < dim: past that, replicas reuse rotations and become exact
-      // cross-replica duplicates — silently breaking the constant-
-      // density property every ANN conclusion rests on. Fail loudly.
-      require(f <= dim, s"factor $f exceeds the embedding dimension " +
-        s"$dim — rotation replicas would collide and the probe's " +
-        "constant-density property no longer holds")
-      (0 until f).map { i =>
-        if (i == 0) emb
-        else {
-          val r = 1 + (i % (dim - 1))
-          emb.select(
-            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-            concat(slice(col("embedding"), r + 1, dim),
-              slice(col("embedding"), 1, r)).as("embedding"),
-            col("label"))
-        }
-      }.reduce(_ unionByName _)
+      require(f <= 2 * dim, s"factor $f exceeds 2x the embedding dim " +
+        s"$dim — replica transforms would collide (constant density)")
+      (0 until f).map(embeddingReplica(emb, _, dim))
+        .reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(embPath)
       hfs.create(marker, true).close()

@@ -36,6 +36,35 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(ScaleProbe.perturbedReplica(d, 0) eq d)
   }
 
+  test("embedding replicas: 2*dim distinct transforms, each a coordinate permutation") {
+    // dim=4 miniature: the transforms for i = 0..2*dim-1 applied to one
+    // strictly-increasing vector must be pairwise DISTINCT (no exact
+    // cross-replica duplicates — the collision runFactor's require
+    // guards at f <= 2*dim) and each a PERMUTATION of the base (a
+    // shared permutation preserves every within-replica inner product,
+    // the constant-density property for ANN). The i < dim half must
+    // stay byte-identical to the r7–r13 rotation record: replica 1 of
+    // [1,2,3,4] under r = 1 + (1 % 3) = 2 is [3,4,1,2].
+    val dim = 4
+    val one = Seq((1L, Seq(1f, 2f, 3f, 4f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val outs = (0 until 2 * dim).map { i =>
+      ScaleProbe.embeddingReplica(one, i, dim)
+        .select(col("embedding")).head.getSeq[Float](0).toList
+    }
+    assert(outs.head === List(1f, 2f, 3f, 4f), "replica 0 untouched")
+    assert(outs(1) === List(3f, 4f, 1f, 2f), "legacy rotation preserved")
+    assert(outs.distinct.size === 2 * dim,
+      "replica transforms must be pairwise distinct")
+    assert(outs.forall(_.sorted === List(1f, 2f, 3f, 4f)),
+      "every transform must be a coordinate permutation")
+    val ids = (0 until 2 * dim).map { i =>
+      ScaleProbe.embeddingReplica(one, i, dim)
+        .select(col("vec_id")).head.getLong(0)
+    }
+    assert(ids.distinct.size === 2 * dim, "ids re-key disjointly")
+  }
+
   test("replicas re-key into disjoint id ranges and keep schema") {
     val r2 = ScaleProbe.perturbedReplica(docs, 2)
     assert(r2.schema === docs.schema)
