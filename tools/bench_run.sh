@@ -14,7 +14,9 @@ sf="${1:-/root/testdata/sf0.1}"
 logdir="${2:-/tmp/graft_bench_logs}"
 cd "$(dirname "$0")/.." || exit 2
 mkdir -p "$logdir"
-log="$logdir/bench_$(date +%Y%m%d_%H%M%S).log"
+# $$ keeps two runs started within the same second from silently
+# overwriting each other's full log — the artifact this script preserves
+log="$logdir/bench_$(date +%Y%m%d_%H%M%S)_$$.log"
 echo "== bench_run: SPARK_GRAFT_SF_DIR=$sf -> $log"
 SPARK_GRAFT_SF_DIR="$sf" sbt -batch "runMain graft.Bench" > "$log" 2>&1
 rc=$?

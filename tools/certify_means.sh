@@ -24,7 +24,9 @@ cd "$(dirname "$0")/.." || exit 2
 # exits non-zero with empty stdout — that is NOT a clean tree. stderr
 # stays separate so a success-path git warning can't masquerade as a
 # dirty file list.
-giterr="${TMPDIR:-/tmp}/certify_means_giterr.$$"
+# mktemp, not a predictable $$-suffixed name in world-writable /tmp (a
+# pre-created symlink could redirect the write); fail CLOSED if it fails
+giterr=$(mktemp) || exit 3
 if ! dirty=$(git status --porcelain src/ build.sbt project/ 2>"$giterr"); then
     echo "== certify_means: git status itself failed:" >&2
     cat "$giterr" >&2; rm -f "$giterr"
