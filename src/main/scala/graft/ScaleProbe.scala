@@ -53,19 +53,12 @@ object ScaleProbe {
     finally { GraftSession.close(spark); spark.stop() }
   }
 
-  /** Replica `i` of a documents frame: ids re-keyed into a disjoint
-    * range, every token suffixed `_i` (replica 0 is the base,
-    * untouched). The suffix changes every shingle/token hash, so
-    * replicas share NO dedup structure across each other while each
-    * reproduces the base corpus's internal structure — the constant-
-    * density property all probe conclusions rest on
-    * (`ScaleProbeSpec` pins it). */
   /** Embedding replica `i`: rotation r = 1 + (i % (dim-1)) while
     * i < dim (the r7–r13 record, byte-identical); i >= dim composes a
     * coordinate REVERSAL (a fixed permutation — within-replica inner
     * products survive) with an i % dim rotation — collision-free
-    * through 2*dim, past which transforms repeat and the constant-
-    * density property breaks (runFactor fails loudly; spec-pinned). */
+    * through [[replicaCap]], past which transforms repeat and the
+    * constant-density property breaks (runFactor fails loudly). */
   def embeddingReplica(emb: DataFrame, i: Int, dim: Int): DataFrame =
     if (i == 0) emb
     else {
@@ -78,6 +71,17 @@ object ScaleProbe {
         col("label"))
     }
 
+  /** Dihedral distinctness needs dim >= 3: below it the reversal IS a
+    * rotation (dim 2) or the identity (dim 1), so the cap stays dim. */
+  def replicaCap(dim: Int): Int = if (dim >= 3) 2 * dim else dim
+
+  /** Replica `i` of a documents frame: ids re-keyed into a disjoint
+    * range, every token suffixed `_i` (replica 0 is the base,
+    * untouched). The suffix changes every shingle/token hash, so
+    * replicas share NO dedup structure across each other while each
+    * reproduces the base corpus's internal structure — the constant-
+    * density property all probe conclusions rest on
+    * (`ScaleProbeSpec` pins it). */
   def perturbedReplica(docs: DataFrame, i: Int): DataFrame =
     if (i == 0) docs
     else docs.select(
@@ -112,8 +116,9 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(docsPath)
       val emb = Tables.embeddings(s, base)
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      require(f <= 2 * dim, s"factor $f exceeds 2x the embedding dim " +
-        s"$dim — replica transforms would collide (constant density)")
+      require(f <= replicaCap(dim), s"factor $f exceeds the replica " +
+        s"cap ${replicaCap(dim)} for embedding dim $dim — transforms " +
+        "would collide (constant density)")
       (0 until f).map(embeddingReplica(emb, _, dim))
         .reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)

@@ -161,9 +161,10 @@ class FileLifecycle(conf: Configuration) {
     // first's payload while both count as extracted — detected below
     // and preserved lossless instead
     val producedBy = scala.collection.mutable.Map.empty[String, String]
-    // non-gzip IO failures: extraction continues past them (archive left
-    // in srcDir for retry), first cause rethrown after the loop
-    val ioFailures = scala.collection.mutable.ArrayBuffer.empty[(String, java.io.IOException)]
+    // non-gzip per-file failures (IO or a wrapped client's Runtime-
+    // Exception): extraction continues past them (archive left in
+    // srcDir for retry), first cause rethrown after the loop
+    val ioFailures = scala.collection.mutable.ArrayBuffer.empty[(String, Exception)]
     gzs.foreach { st =>
       val name = st.getPath.getName
       val outName =
@@ -236,15 +237,15 @@ class FileLifecycle(conf: Configuration) {
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               try ofs.delete(staged, false)
-              catch { case c: java.io.IOException => log.warn(
+              catch { case c: Exception => log.warn(
                 s"staged cleanup of $staged failed (${c.getMessage}) — " +
                 "dotted debris, invisible to drains, overwritten on retry") }
               Some(false)
-            case e: java.io.IOException =>
+            case e: Exception =>
               try ofs.delete(staged, false)
-              catch { case c: java.io.IOException => e.addSuppressed(c) }
+              catch { case c: Exception => e.addSuppressed(c) }
               log.error(s"extraction of ${st.getPath} failed on a " +
-                s"non-gzip IO error (${e.getClass.getSimpleName}: " +
+                s"non-gzip error (${e.getClass.getSimpleName}: " +
                 s"${e.getMessage}) — left in srcDir for retry, continuing")
               ioFailures += ((st.getPath.toString, e))
               // claim the output name anyway: a same-run sibling mapping
@@ -284,7 +285,7 @@ class FileLifecycle(conf: Configuration) {
     // still in srcDir for the next run
     ioFailures.headOption.foreach { case (p, e) =>
       throw new java.io.IOException(s"${ioFailures.size} archive(s) hit " +
-        s"non-gzip IO errors (left in srcDir for retry; $extracted " +
+        s"non-gzip errors (left in srcDir for retry; $extracted " +
         s"extracted); first: $p", e)
     }
     extracted

@@ -65,6 +65,20 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(ids.distinct.size === 2 * dim, "ids re-key disjointly")
   }
 
+  test("replicaCap: 2*dim only where the dihedral transforms are distinct (dim >= 3)") {
+    assert(ScaleProbe.replicaCap(64) === 128)
+    assert(ScaleProbe.replicaCap(3) === 6)
+    // dim 2: reverse == rotation-by-1; dim 1: reverse == identity. The
+    // extended range would create exact cross-replica duplicates — the
+    // collision is real, demonstrated, and the cap must exclude it:
+    assert(ScaleProbe.replicaCap(2) === 2)
+    assert(ScaleProbe.replicaCap(1) === 1)
+    val one2 = Seq((1L, Seq(1f, 2f), "x")).toDF("vec_id", "embedding", "label")
+    def embOf(i: Int) = ScaleProbe.embeddingReplica(one2, i, 2)
+      .select(col("embedding")).head.getSeq[Float](0).toList
+    assert(embOf(1) === embOf(2), "dim-2 reverse IS rotation-by-1")
+  }
+
   test("replicas re-key into disjoint id ranges and keep schema") {
     val r2 = ScaleProbe.perturbedReplica(docs, 2)
     assert(r2.schema === docs.schema)

@@ -483,6 +483,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
                   throw new RuntimeException("injected close failure")
               }, null)
           }
+          // the staged-cleanup delete inside the quarantine handler can
+          // ALSO throw a wrapped-client RuntimeException — it must be
+          // swallowed (logged), not replace the quarantine flow
+          override def delete(f: Path, recursive: Boolean): Boolean =
+            if (f.getName == ".c.xml.__extracting")
+              throw new RuntimeException("injected delete failure")
+            else super.delete(f, recursive)
         }
     }
     val root = tmpDir("flrace_")
@@ -508,6 +515,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(gzDir, "c.xml.gz")))
     assert(Files.readString(
       java.nio.file.Paths.get(root, "xml", "d.xml")) === "<d>ok</d>")
+  }
+
+  test("gunzipAll: a wrapped-client RuntimeException on one archive retries; siblings extract") {
+    // Hadoop FSes wrapping object-store SDKs surface failures as
+    // RuntimeException, not IOException. The per-file catch must
+    // record-and-continue exactly like an IO failure — pre-fix it
+    // matched only IOException, so one such failure aborted gunzipAll
+    // mid-loop and every sibling behind it was skipped on every run
+    // (this test fails on that code with the RuntimeException
+    // escaping). The staged-cleanup delete throws the same way and
+    // must ride suppressed on the recorded cause.
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def open(f: Path, bufferSize: Int)
+              : org.apache.hadoop.fs.FSDataInputStream =
+            if (f.getName == "r.xml.gz")
+              throw new RuntimeException("injected sdk failure")
+            else super.open(f, bufferSize)
+          override def delete(f: Path, recursive: Boolean): Boolean =
+            if (f.getName == ".r.xml.__extracting")
+              throw new RuntimeException("injected delete failure")
+            else super.delete(f, recursive)
+        }
+    }
+    val root = tmpDir("flsdk_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("r.xml.gz", "<r>healthy</r>")
+    gz("s.xml.gz", "<s>ok</s>") // globs AFTER the failing archive
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    val e = intercept[java.io.IOException] {
+      fl.gunzipAll(gzDir, xmlOut, done, 83L)
+    }
+    assert(e.getMessage.contains("left in srcDir"))
+    assert(e.getCause.isInstanceOf[RuntimeException])
+    assert(e.getCause.getSuppressed.exists(
+      _.getMessage == "injected delete failure"),
+      "the throwing staged cleanup must ride suppressed, not escape")
+    assert(fs.exists(new Path(gzDir, "r.xml.gz")), "archive left for retry")
+    assert(fs.globStatus(new Path(done, "corrupt_*")) == null ||
+      fs.globStatus(new Path(done, "corrupt_*")).isEmpty,
+      "a client failure must not quarantine a healthy archive")
+    assert(Files.readString(java.nio.file.Paths.get(root, "xml", "s.xml"))
+      === "<s>ok</s>", "the sibling behind the failure must extract")
+    assert(fs.exists(new Path(done, "processed_83_s.xml.gz")))
   }
 
   test("RawTap records a source failure on ANY throwable, and taps skip()") {
