@@ -7,6 +7,8 @@ import java.io.InputStream
 import java.security.MessageDigest
 import java.util.zip.GZIPInputStream
 
+import scala.util.control.NonFatal
+
 /** Per-file lifecycle utilities (SURVEY.md §2.8 ST7/ST8, §2.1 S4):
   * content-hash-deduplicated backups, timestamped move-to-processed,
   * post-run completeness audit, gzip extraction.
@@ -232,18 +234,19 @@ class FileLifecycle(conf: Configuration) {
             // archive on a transient blip: only positive gzip evidence
             // quarantines, keyed on the corrupt FLAG, not the escaping
             // type (a cleanup close() RuntimeException can win the
-            // finally race) — all else retries. Cleanup SUPPRESSED.
-            case e: Exception if corrupt =>
+            // finally race); all other NonFatal failures retry —
+            // interrupts/fatals abort the run. Cleanup SUPPRESSED.
+            case e: Exception if corrupt && NonFatal(e) =>
               log.warn(s"corrupt archive ${st.getPath} (${e.getMessage}) " +
                 "— quarantining and continuing")
               try ofs.delete(staged, false)
-              catch { case c: Exception => log.warn(
+              catch { case c: Exception if NonFatal(c) => log.warn(
                 s"staged cleanup of $staged failed (${c.getMessage}) — " +
                 "dotted debris, invisible to drains, overwritten on retry") }
               Some(false)
-            case e: Exception =>
+            case e: Exception if NonFatal(e) =>
               try ofs.delete(staged, false)
-              catch { case c: Exception => e.addSuppressed(c) }
+              catch { case c: Exception if NonFatal(c) => e.addSuppressed(c) }
               log.error(s"extraction of ${st.getPath} failed on a " +
                 s"non-gzip error (${e.getClass.getSimpleName}: " +
                 s"${e.getMessage}) — left in srcDir for retry, continuing")

@@ -569,6 +569,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(new Path(done, "processed_83_s.xml.gz")))
   }
 
+  test("gunzipAll: an interrupt is NOT a retriable per-file failure — it aborts the run") {
+    // gunzipAll runs driver-side inside foreachBatch; on query stop
+    // Spark interrupts the thread. An InterruptedException surfacing
+    // from a wrapped FS client must propagate immediately — recording
+    // it as 'left in srcDir for retry, continuing' would keep reading
+    // every remaining archive in the batch with the cancellation
+    // signal swallowed (this test fails on a bare Exception match:
+    // the post-loop IOException is thrown instead).
+    val config = new Configuration()
+    val fl = new FileLifecycle(config) {
+      override protected def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+        new org.apache.hadoop.fs.FilterFileSystem(p.getFileSystem(config)) {
+          override def open(f: Path, bufferSize: Int)
+              : org.apache.hadoop.fs.FSDataInputStream =
+            if (f.getName == "i.xml.gz")
+              throw new InterruptedException("query stop")
+            else super.open(f, bufferSize)
+        }
+    }
+    val root = tmpDir("flint_")
+    val fs = new Path(root).getFileSystem(config)
+    val gzDir = new Path(root, "gz"); fs.mkdirs(gzDir)
+    def gz(name: String, payload: String): Unit = {
+      val zos = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, s"gz/$name")))
+      zos.write(payload.getBytes); zos.close()
+    }
+    gz("i.xml.gz", "<i/>")
+    gz("j.xml.gz", "<j/>") // behind the interrupt: must NOT be read
+    val xmlOut = new Path(root, "xml"); val done = new Path(root, "done")
+    intercept[InterruptedException] {
+      fl.gunzipAll(gzDir, xmlOut, done, 89L)
+    }
+    assert(!fs.exists(new Path(xmlOut, "j.xml")), "abort must be mid-loop")
+    assert(fs.exists(new Path(gzDir, "i.xml.gz")))
+    assert(fs.exists(new Path(gzDir, "j.xml.gz")))
+  }
+
   test("RawTap records a source failure on ANY throwable, and taps skip()") {
     // Wrapped FS clients throw RuntimeException from read; a future
     // JDK may route gzip header skips through skip(). Both must mark
