@@ -119,6 +119,8 @@ object ScaleProbe {
       require(f <= replicaCap(dim), s"factor $f exceeds the replica " +
         s"cap ${replicaCap(dim)} for embedding dim $dim — transforms " +
         "would collide (constant density)")
+      require(emb.agg(max("vec_id")).head.getLong(0) < 10000000L,
+        "base vec_id reaches the 10M per-replica offset — ids would collide")
       (0 until f).map(embeddingReplica(emb, _, dim))
         .reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)
@@ -331,8 +333,10 @@ object ScaleProbe {
     if (wanted("hot_family_lsh_pairs_guarded", "hot_family_exact_dedup")) {
       val template = docs.orderBy(col("doc_id")).limit(1)
         .select(col("text")).head.getString(0)
+      // hot ids NEGATIVE: replica ids are >= 0, so no factor can ever
+      // collide (a fixed positive offset hit replica 90's range at 128×)
       val hot = docs.sparkSession.range(15000)
-        .select((col("id") + 900000000L).as("doc_id"),
+        .select((-col("id") - 1000000L).as("doc_id"),
           lit(template).as("text"))
       val poisoned = docs.select(col("doc_id"), col("text")).unionByName(hot)
       timed("hot_family_lsh_pairs_guarded") {

@@ -135,8 +135,8 @@ object ArtifactStore {
     // it the next restart rebuilds at hours-scale with a valid prior one
     // rename away. Truly best-effort — a THROWING restore (Throwable —
     // even an Error must not replace the commit failure) rides as
-    // suppressed, and a restore losing a race to
-    // a late committer (HDFS nests it INSIDE the winner) un-nests back
+    // suppressed (an interrupt re-asserts the flag first); a restore
+    // losing to a late committer (HDFS nests INSIDE) un-nests back
     val nestedOld = new Path(target, retired.getName)
     def restorePrior(cause: Throwable): Unit =
       try {
@@ -144,7 +144,10 @@ object ArtifactStore {
             fs.exists(nestedOld))
           require(fs.rename(nestedOld, retired),
             s"could not un-nest $nestedOld after a lost restore race")
-      } catch { case e: Throwable => cause.addSuppressed(e) }
+      } catch { case e: Throwable =>
+        if (e.isInstanceOf[InterruptedException])
+          Thread.currentThread().interrupt()
+        cause.addSuppressed(e) }
     var attempt = 0; var committed = false
     try {
       while (!committed) {

@@ -163,10 +163,10 @@ class FileLifecycle(conf: Configuration) {
     // first's payload while both count as extracted — detected below
     // and preserved lossless instead
     val producedBy = scala.collection.mutable.Map.empty[String, String]
-    // non-gzip per-file failures (IO or a wrapped client's Runtime-
-    // Exception): extraction continues past them (archive left in
-    // srcDir for retry), first cause rethrown after the loop
-    val ioFailures = scala.collection.mutable.ArrayBuffer.empty[(String, Exception)]
+    // non-corruption per-file failures (IO or a wrapped client's
+    // RuntimeException): extraction continues past them (archive left
+    // in srcDir for retry), first cause rethrown after the loop
+    val perFileFailures = scala.collection.mutable.ArrayBuffer.empty[(String, Exception)]
     gzs.foreach { st =>
       val name = st.getPath.getName
       val outName =
@@ -202,7 +202,7 @@ class FileLifecycle(conf: Configuration) {
         val staged = new Path(outDir, s".${outName}.__extracting")
         var tap: RawTap = null // non-null once the source stream is open
         var corrupt = false    // a gzip-layer read judged the bytes bad
-        // Some = extracted?; None = non-gzip IO failure (recorded above)
+        // Some = extracted?; None = non-corruption failure (recorded above)
         val ok: Option[Boolean] =
           try {
             val raw = sfs.open(st.getPath)
@@ -248,9 +248,9 @@ class FileLifecycle(conf: Configuration) {
               try ofs.delete(staged, false)
               catch { case c: Exception if NonFatal(c) => e.addSuppressed(c) }
               log.error(s"extraction of ${st.getPath} failed on a " +
-                s"non-gzip error (${e.getClass.getSimpleName}: " +
+                s"non-corruption error (${e.getClass.getSimpleName}: " +
                 s"${e.getMessage}) — left in srcDir for retry, continuing")
-              ioFailures += ((st.getPath.toString, e))
+              perFileFailures += ((st.getPath.toString, e))
               // claim the output name anyway: a same-run sibling mapping
               // to it is a genuine collision and must park lossless, not
               // extract now and be silently overwritten on our retry run
@@ -286,9 +286,9 @@ class FileLifecycle(conf: Configuration) {
     }
     // fail loud AFTER best effort: siblings extracted, failed archives
     // still in srcDir for the next run
-    ioFailures.headOption.foreach { case (p, e) =>
-      throw new java.io.IOException(s"${ioFailures.size} archive(s) hit " +
-        s"non-gzip errors (left in srcDir for retry; $extracted " +
+    perFileFailures.headOption.foreach { case (p, e) =>
+      throw new java.io.IOException(s"${perFileFailures.size} archive(s) hit " +
+        s"non-corruption errors (left in srcDir for retry; $extracted " +
         s"extracted); first: $p", e)
     }
     extracted

@@ -482,6 +482,31 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "failed restore must leave .old recoverable")
   }
 
+  test("an InterruptedException mid-restore re-asserts the thread's interrupt status") {
+    val (fs, target, staging) = stagedCommit("intr")
+    // cancellation arriving DURING the best-effort restore must not be
+    // lost: the commit failure still escapes with the interrupt riding
+    // suppressed (restore stays best-effort), but the thread's interrupt
+    // flag must be re-asserted so the caller's next interruptible op
+    // still observes the cancellation instead of silently deferring it
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false
+        else if (s.getName == ".a.old" && d == target)
+          throw new InterruptedException("injected cancel mid-restore")
+        else super.rename(s, d)
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    // read-AND-CLEAR first so an asserted flag can't leak into the suite
+    assert(Thread.interrupted(),
+      "a suppressed InterruptedException must re-assert the interrupt flag")
+    assert(e.getMessage.contains("could not commit"),
+      "the commit failure must be what escapes, not the interrupt")
+    assert(e.getSuppressed.exists(_.getMessage == "injected cancel mid-restore"))
+  }
+
   test("an abort-path restore that loses a late commit race is un-nested back to .old") {
     val (fs, target, staging) = stagedCommit("nest")
     // between the restore's exists() check and its rename, a concurrent
