@@ -91,6 +91,20 @@ object ScaleProbe {
       regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
       col("lang"), col("source"), col("n_chars"))
 
+  /** Replica ids are the base id + i*10M, and the hot family uses
+    * NEGATIVE ids — so replication needs every base id in [0, 10M).
+    * Gated on f > 1 (factor 1 applies no offsets: a large-id corpus
+    * still runs unreplicated); null-safe (an empty base table fails
+    * with its own message, not an NPE on a null max). */
+  private[graft] def requireIdRange(df: DataFrame, c: String, f: Int): Unit =
+    if (f > 1) {
+      val r = df.agg(min(c), max(c)).head
+      require(!r.isNullAt(1), s"empty base table — no $c to replicate")
+      require(r.getLong(0) >= 0L && r.getLong(1) < 10000000L,
+        s"base $c range [${r.getLong(0)}, ${r.getLong(1)}] escapes " +
+          "[0, 10M) — replica ids would collide")
+    }
+
   /** Replicate once per factor (skip only when a COMPLETED replication
     * is present), then time each op. */
   private def runFactor(s: SparkSession, base: String, scratch: String,
@@ -110,6 +124,7 @@ object ScaleProbe {
     val marker = new org.apache.hadoop.fs.Path(dir, "_REPLICAS_OK")
     if (!hfs.exists(marker)) {
       val docs = Tables.documents(s, base)
+      requireIdRange(docs, "doc_id", f)
       (0 until f).map(perturbedReplica(docs, _))
         .reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)
@@ -119,8 +134,7 @@ object ScaleProbe {
       require(f <= replicaCap(dim), s"factor $f exceeds the replica " +
         s"cap ${replicaCap(dim)} for embedding dim $dim — transforms " +
         "would collide (constant density)")
-      require(emb.agg(max("vec_id")).head.getLong(0) < 10000000L,
-        "base vec_id reaches the 10M per-replica offset — ids would collide")
+      requireIdRange(emb, "vec_id", f)
       (0 until f).map(embeddingReplica(emb, _, dim))
         .reduce(_ unionByName _)
         .repartition(s.sparkContext.defaultParallelism)

@@ -145,7 +145,13 @@ object ArtifactStore {
           require(fs.rename(nestedOld, retired),
             s"could not un-nest $nestedOld after a lost restore race")
       } catch { case e: Throwable =>
-        if (e.isInstanceOf[InterruptedException])
+        // Hadoop IPC translates a mid-RPC interrupt into an
+        // InterruptedIOException with the flag CLEARED — re-assert both.
+        // SocketTimeoutException EXTENDS it but signals a timeout, not a
+        // cancellation: re-asserting there would forge an interrupt
+        if (e.isInstanceOf[InterruptedException] ||
+            (e.isInstanceOf[java.io.InterruptedIOException] &&
+              !e.isInstanceOf[java.net.SocketTimeoutException]))
           Thread.currentThread().interrupt()
         cause.addSuppressed(e) }
     var attempt = 0; var committed = false

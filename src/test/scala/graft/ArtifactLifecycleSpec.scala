@@ -507,6 +507,53 @@ class ArtifactLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getSuppressed.exists(_.getMessage == "injected cancel mid-restore"))
   }
 
+  test("a Hadoop InterruptedIOException mid-restore re-asserts the interrupt flag") {
+    val (fs, target, staging) = stagedCommit("iio")
+    // Hadoop's IPC client translates a thread interrupt during an RPC
+    // into java.io.InterruptedIOException with the interrupt flag
+    // CLEARED (unlike NIO's ClosedByInterruptException, which preserves
+    // it) — on a real HDFS the cancellation must be re-asserted exactly
+    // like a raw InterruptedException, or it is silently deferred
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false
+        else if (s.getName == ".a.old" && d == target)
+          throw new java.io.InterruptedIOException("injected IPC cancel")
+        else super.rename(s, d)
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    // read-AND-CLEAR first so an asserted flag can't leak into the suite
+    assert(Thread.interrupted(),
+      "a suppressed InterruptedIOException must re-assert the interrupt flag")
+    assert(e.getMessage.contains("could not commit"),
+      "the commit failure must be what escapes, not the interrupt")
+    assert(e.getSuppressed.exists(_.getMessage == "injected IPC cancel"))
+  }
+
+  test("a SocketTimeoutException mid-restore does NOT forge an interrupt") {
+    val (fs, target, staging) = stagedCommit("sto")
+    // SocketTimeoutException EXTENDS InterruptedIOException but means a
+    // timeout, not a cancellation — re-asserting the flag there would
+    // turn a slow datanode into a phantom interrupt on the caller's
+    // next blocking op
+    val broken = new FilterFileSystem(fs) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        if (s == staging && d == target) false
+        else if (s.getName == ".a.old" && d == target)
+          throw new java.net.SocketTimeoutException("injected timeout")
+        else super.rename(s, d)
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.commitStaged(broken, target, staging)
+    }
+    assert(!Thread.interrupted(),
+      "a timeout must not set the thread's interrupt flag")
+    assert(e.getMessage.contains("could not commit"))
+    assert(e.getSuppressed.exists(_.getMessage == "injected timeout"))
+  }
+
   test("an abort-path restore that loses a late commit race is un-nested back to .old") {
     val (fs, target, staging) = stagedCommit("nest")
     // between the restore's exists() check and its rename, a concurrent

@@ -114,4 +114,28 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((10000001L, 10000002L)),
       s"within-replica NEAR-dup family lost: $pairs")
   }
+
+  test("requireIdRange: [0, 10M) at f > 1, ungated at f = 1, null-safe") {
+    // the r15 collision class, now guarded on BOTH tables: replica ids
+    // are base + i*10M and the hot family is NEGATIVE, so any base id
+    // outside [0, 10M) can alias another replica's range
+    val ok = Seq((0L, "x"), (9999999L, "y")).toDF("doc_id", "text")
+    ScaleProbe.requireIdRange(ok, "doc_id", 128) // full range passes
+    val big = Seq((10000000L, "x")).toDF("doc_id", "text")
+    // factor 1 applies no offsets — a large-id corpus runs unreplicated
+    ScaleProbe.requireIdRange(big, "doc_id", 1)
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.requireIdRange(big, "doc_id", 2)
+    }.getMessage.contains("escapes"))
+    val neg = Seq((-1L, "x")).toDF("vec_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.requireIdRange(neg, "vec_id", 2)
+    }.getMessage.contains("escapes"))
+    // empty table: max() is null — the guard must fail with its own
+    // message, not an NPE from getLong on a null aggregate
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.requireIdRange(empty, "doc_id", 2)
+    }.getMessage.contains("empty base table"))
+  }
 }
