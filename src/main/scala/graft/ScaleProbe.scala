@@ -91,19 +91,24 @@ object ScaleProbe {
       regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
       col("lang"), col("source"), col("n_chars"))
 
-  /** Replica ids are the base id + i*10M, and the hot family uses
-    * NEGATIVE ids — so replication needs every base id in [0, 10M).
-    * Gated on f > 1 (factor 1 applies no offsets: a large-id corpus
-    * still runs unreplicated); null-safe (an empty base table fails
-    * with its own message, not an NPE on a null max). */
-  private[graft] def requireIdRange(df: DataFrame, c: String, f: Int): Unit =
-    if (f > 1) {
-      val r = df.agg(min(c), max(c)).head
-      require(!r.isNullAt(1), s"empty base table — no $c to replicate")
-      require(r.getLong(0) >= 0L && r.getLong(1) < 10000000L,
-        s"base $c range [${r.getLong(0)}, ${r.getLong(1)}] escapes " +
-          "[0, 10M) — replica ids would collide")
-    }
+  /** Replica ids are the base id + i*10M, and the hot-family / delta
+    * probe ops synthesize NEGATIVE ids at EVERY factor (including 1) —
+    * so base ids must be non-negative always, while the < 10M bound
+    * stays gated on f > 1 (factor 1 applies no replica offsets: a
+    * large POSITIVE-id corpus still runs unreplicated). Null-safe:
+    * max() ignores nulls, so a table with no non-null ids — empty OR
+    * all-NULL — fails with a message that says which values were
+    * missing, not an NPE on a null aggregate. */
+  private[graft] def requireIdRange(df: DataFrame, c: String, f: Int): Unit = {
+    val r = df.agg(min(c), max(c)).head
+    require(!r.isNullAt(1), s"no non-null $c values to replicate")
+    require(r.getLong(0) >= 0L,
+      s"base $c min ${r.getLong(0)} is negative — it could alias the " +
+        "probe's synthetic negative ids (hot family, neardup delta)")
+    if (f > 1) require(r.getLong(1) < 10000000L,
+      s"base $c range [${r.getLong(0)}, ${r.getLong(1)}] escapes " +
+        "[0, 10M) — replica ids would collide")
+  }
 
   /** Replicate once per factor (skip only when a COMPLETED replication
     * is present), then time each op. */

@@ -115,12 +115,14 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"within-replica NEAR-dup family lost: $pairs")
   }
 
-  test("requireIdRange: [0, 10M) at f > 1, ungated at f = 1, null-safe") {
-    // the r15 collision class, now guarded on BOTH tables: replica ids
-    // are base + i*10M and the hot family is NEGATIVE, so any base id
-    // outside [0, 10M) can alias another replica's range
+  test("requireIdRange: non-negative at EVERY factor, [0, 10M) at f > 1, null-safe") {
+    // the r15 collision class, guarded on BOTH tables: replica ids
+    // are base + i*10M and the hot-family / neardup-delta ops
+    // synthesize NEGATIVE ids at every factor INCLUDING 1 (r16 ADVICE:
+    // the old f>1 gate let a negative-id base silently alias them)
     val ok = Seq((0L, "x"), (9999999L, "y")).toDF("doc_id", "text")
     ScaleProbe.requireIdRange(ok, "doc_id", 128) // full range passes
+    ScaleProbe.requireIdRange(ok, "doc_id", 1)
     val big = Seq((10000000L, "x")).toDF("doc_id", "text")
     // factor 1 applies no offsets — a large-id corpus runs unreplicated
     ScaleProbe.requireIdRange(big, "doc_id", 1)
@@ -130,12 +132,25 @@ class ScaleProbeSpec extends AnyFunSuite {
     val neg = Seq((-1L, "x")).toDF("vec_id", "text")
     assert(intercept[IllegalArgumentException] {
       ScaleProbe.requireIdRange(neg, "vec_id", 2)
-    }.getMessage.contains("escapes"))
+    }.getMessage.contains("negative"))
+    // ...and at factor 1 too: the hot family (-1000000..) and the
+    // delta (-doc_id-1) run unreplicated as well
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.requireIdRange(neg, "vec_id", 1)
+    }.getMessage.contains("negative"))
     // empty table: max() is null — the guard must fail with its own
     // message, not an NPE from getLong on a null aggregate
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException] {
       ScaleProbe.requireIdRange(empty, "doc_id", 2)
-    }.getMessage.contains("empty base table"))
+    }.getMessage.contains("no non-null"))
+    // non-empty but all-NULL id column: max() ignores nulls, so this is
+    // the same missing-values case — the message must not claim the
+    // table is empty (r16 ADVICE wording fix)
+    val allNull = Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+      .toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.requireIdRange(allNull, "doc_id", 2)
+    }.getMessage.contains("no non-null doc_id"))
   }
 }
