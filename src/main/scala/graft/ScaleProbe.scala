@@ -97,11 +97,12 @@ object ScaleProbe {
     * stays gated on f > 1 (factor 1 applies no replica offsets: a
     * large POSITIVE-id corpus still runs unreplicated). Null-safe:
     * max() ignores nulls, so a table with no non-null ids — empty OR
-    * all-NULL — fails with a message that says which values were
-    * missing, not an NPE on a null aggregate. */
+    * all-NULL — fails with a factor-neutral message ("in base table",
+    * not "to replicate": at f=1 nothing is replicated, the guard runs
+    * on the unmodified base), not an NPE on a null aggregate. */
   private[graft] def requireIdRange(df: DataFrame, c: String, f: Int): Unit = {
     val r = df.agg(min(c), max(c)).head
-    require(!r.isNullAt(1), s"no non-null $c values to replicate")
+    require(!r.isNullAt(1), s"no non-null $c values in base table")
     require(r.getLong(0) >= 0L,
       s"base $c min ${r.getLong(0)} is negative — it could alias the " +
         "probe's synthetic negative ids (hot family, neardup delta)")

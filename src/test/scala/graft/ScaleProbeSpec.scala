@@ -152,5 +152,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       ScaleProbe.requireIdRange(allNull, "doc_id", 2)
     }.getMessage.contains("no non-null doc_id"))
+    // r17 ADVICE: the wording must be factor-neutral — at f=1 nothing
+    // is replicated, so "to replicate" would misdescribe the failure.
+    // Pin the neutral phrase AND the absence of the old one, at both
+    // the unreplicated and replicated factors.
+    for (f <- Seq(1, 2)) {
+      val m = intercept[IllegalArgumentException] {
+        ScaleProbe.requireIdRange(allNull, "doc_id", f)
+      }.getMessage
+      assert(m.contains("no non-null doc_id values in base table"))
+      assert(!m.contains("replicate"))
+    }
   }
 }
