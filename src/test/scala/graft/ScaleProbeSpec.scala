@@ -149,9 +149,6 @@ class ScaleProbeSpec extends AnyFunSuite {
     // table is empty (r16 ADVICE wording fix)
     val allNull = Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
       .toDF("doc_id", "text")
-    assert(intercept[IllegalArgumentException] {
-      ScaleProbe.requireIdRange(allNull, "doc_id", 2)
-    }.getMessage.contains("no non-null doc_id"))
     // r17 ADVICE: the wording must be factor-neutral — at f=1 nothing
     // is replicated, so "to replicate" would misdescribe the failure.
     // Pin the neutral phrase AND the absence of the old one, at both
