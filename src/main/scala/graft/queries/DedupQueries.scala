@@ -70,6 +70,20 @@ object DedupQueries extends QueryPack {
       (SparkSession, String, String), DataFrame](
     "dedup-scratch", k => Some(k._1))(v => { v.unpersist(); () })
 
+  /** Corpus-wide connected-component labels over [[corpusPairs]],
+    * memoized AND CACHED per (session, dir) — r21: q60 (cluster sizes)
+    * and q98 (size histogram) each re-ran the identical CC driver loop
+    * (real jobs per iteration, not just a plan) over the same cached
+    * pair frame. The label table is exactly the "persisted label table
+    * of the snapshot" the incremental path (q106) reads at cluster
+    * scale — materialize it once per snapshot, fan analyses out from
+    * it (the corpusPairs pattern one level up). */
+  private val labelsCache = graft.runtime.FrameCache.frames("dedup-labels")
+  private def corpusLabels(s: SparkSession, d: String): DataFrame =
+    labelsCache.get((s, d))(
+      Dedup.connectedComponents(
+        corpusPairs(s, d).select(col("a_id"), col("b_id"))).cache())
+
   /** q80's STANDING corpus band index — the nightly-ingest shape
     * builds the corpus index once per snapshot and probes every delta
     * batch against it. A per-invocation `minhashLshPairsAcross` call
@@ -132,7 +146,7 @@ object DedupQueries extends QueryPack {
     //      recursive transitive closure. This is the dedup endgame a
     //      curation pipeline runs: keep one doc per cluster. ----
     "q60_dedup_clusters" -> ((s, d) => {
-      Dedup.connectedComponents(corpusPairs(s, d).select(col("a_id"), col("b_id")))
+      corpusLabels(s, d)
         .groupBy(col("comp").as("cluster"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("cluster"))
@@ -170,11 +184,19 @@ object DedupQueries extends QueryPack {
     //      fingerprints (equi-join — no all-pairs scan) ----
     "q37_ngram_jaccard" -> ((s, d) => {
       // cached: the shingle-hash frame feeds the distinct-hash branch and
-      // the fingerprint branch — uncached, each re-runs the md5 scan
+      // the fingerprint branch — uncached, each re-runs the md5 scan.
+      // Projected to (doc_id, h) on BOTH sides of the repartition
+      // exchange (guide §2.3 project-before-exchange): a cache() pins
+      // every column it is handed, so the old full-row frame froze
+      // text/lang/source/n_chars into the InMemoryRelation and dragged
+      // them through the round-robin shuffle — 5-column scan + 6-column
+      // cache for a pipeline that only ever reads (doc_id, h).
       val hsh = scratchCache.get((s, d, "q37-hsh"))(
         Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
           .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("h", TextAnalysis.shingleHashes(col("text"), 3))
+          .select(col("doc_id"),
+            TextAnalysis.shingleHashes(col("text"), 3).as("h"))
           .cache())
       val sh = hsh.select(col("doc_id"), array_distinct(col("h")).as("hs"))
       val fps = hsh.select(col("doc_id"),
@@ -334,7 +356,7 @@ object DedupQueries extends QueryPack {
     //      sits in big cliques vs pairs — the number that picks between
     //      keep-one-per-cluster and more aggressive collapse. ----
     "q98_cluster_sizes" -> ((s, d) => {
-      Dedup.connectedComponents(corpusPairs(s, d).select(col("a_id"), col("b_id")))
+      corpusLabels(s, d)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("sz"))
         .groupBy(col("sz"))

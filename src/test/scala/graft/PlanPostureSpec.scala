@@ -187,6 +187,20 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q60/q98: cluster analyses read the ONE cached label table, not a CC re-run") {
+    // r21: connected components runs a driver loop of real jobs per
+    // iteration — the label table is memoized like the pair frame, so
+    // the two cluster consumers aggregate over the cached (id, comp)
+    // frame instead of each re-running the loop.
+    for (q <- Seq("q60_dedup_clusters", "q98_cluster_sizes")) {
+      val p = plan(q)
+      assert(p.linesIterator.exists(l =>
+          l.contains("InMemoryTableScan") && l.contains("comp")),
+        s"$q re-runs the connected-components loop instead of reading " +
+          "the shared cached label table")
+    }
+  }
+
   test("q33/q37: winnowing runs as the one-pass native kernel, not the HOF chain") {
     for (q <- Seq("q33_fingerprint", "q37_ngram_jaccard")) {
       val p = plan(q)
@@ -203,6 +217,41 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q37 lost the IntersectSizeLong kernel")
     assert(!p.contains("array_intersect"),
       "q37 fell back to materializing intersection arrays per pair")
+  }
+
+  test("q37: the scratch cache is the narrow (doc_id, h) frame, not the full row") {
+    // r21: cache() pins every column it is handed — the pre-r21 frame
+    // froze text/lang/source/n_chars into the InMemoryRelation and
+    // dragged them through the repartition exchange. The pipeline only
+    // ever reads (doc_id, h); columns the query never touches must not
+    // appear anywhere in its plan.
+    val p = plan("q37_ngram_jaccard")
+    assert(p.contains("InMemoryTableScan"),
+      "q37 lost its shared scratch cache")
+    for (c <- Seq("n_chars", "lang"))
+      assert(!p.contains(c), s"q37's cached frame still carries $c")
+  }
+
+  test("q75: df and tf branches share ONE cached posting-list aggregate") {
+    // r21: both aggregates derive from the cached (term, doc_id, source)
+    // posting list — uncached, each branch re-ran scan+tokenize+explode.
+    val p = plan("q75_tfidf_terms")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "q75's df/tf branches no longer read the shared cached aggregate")
+  }
+
+  test("q103: the scoring pass reads the cached per-doc stats frame, not a re-scan") {
+    // r21: the stats aggregate (plan-time literals) and the scoring pass
+    // share one cached narrow tf/dl frame — one corpus pass, not two.
+    val p = plan("q103_bm25_search")
+    val imtsLines = p.linesIterator.filter(_.contains("InMemoryTableScan"))
+    assert(imtsLines.nonEmpty,
+      "q103 re-runs the scan+tokenize pipeline for the scoring pass")
+    // the cached frame is the narrow per-doc stats — its scan must not
+    // output text (the child plan below the relation still reads it once)
+    assert(p.linesIterator.filter(_.contains("InMemoryTableScan"))
+        .forall(!_.contains("text")),
+      "q103's cached frame should be the narrow per-doc stats, not text")
   }
 
   test("q109: the source-mean table broadcasts; the corpus never shuffles to score") {

@@ -75,6 +75,19 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("CMS totalCount equals the row count it replaced (q84's nTotal source)") {
+    // q84 derives nTotal from sketch.totalCount() instead of a separate
+    // distributed count action — valid because the CMS aggregate adds
+    // each non-null input exactly once and q84's exploded term stream
+    // has no nulls. Pin the equivalence on a frame with duplicates.
+    val df = Seq("a", "b", "a", "c", "a", "b").toDF("term")
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      df.agg(count_min_sketch(col("term"), lit(0.01), lit(0.99), lit(42))
+        .as("sk")).head.getAs[Array[Byte]](0))
+    assert(sk.totalCount() === df.count())
+    assert(sk.estimateCount("a") >= 3L)
+  }
+
   test("fingerprints: deterministic, dedup'd, robust to short docs") {
     val txt = "a b c d e f g h i j k l m n"
     val df = Seq(txt, txt, "a b", "").toDF("t")
