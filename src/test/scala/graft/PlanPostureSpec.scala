@@ -232,6 +232,36 @@ class PlanPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains(c), s"q37's cached frame still carries $c")
   }
 
+  test("q36: banding and verify read the cached (doc_id, sim) sketch frame") {
+    // r21: the 8-byte-per-doc simhash sketch is the per-snapshot
+    // signature artifact (q104's dhash frame is the same shape) —
+    // uncached, every invocation re-paid the tokenize+md5 corpus pass.
+    // The cache must stay the NARROW sketch: text may appear only in
+    // the relation's one-time build, never in its scans.
+    val p = plan("q36_simhash")
+    assert(p.linesIterator.exists(l =>
+        l.contains("InMemoryTableScan") && l.contains("sim")),
+      "q36 re-runs the tokenize+simhash pipeline instead of reading " +
+        "the cached sketch frame")
+    assert(p.linesIterator.filter(_.contains("InMemoryTableScan"))
+        .forall(!_.contains("text")),
+      "q36's cached frame should be the (doc_id, sim) sketch, not text")
+    for (c <- Seq("n_chars", "lang"))
+      assert(!p.contains(c), s"q36's pipeline still carries $c")
+  }
+
+  test("q106: standing labels come from the memoized per-snapshot table") {
+    // r21: the incremental path's contract is that yesterday's labels
+    // are READ (at cluster scale, the snapshot's persisted label
+    // table), not re-derived by a batch CC loop per invocation. The
+    // memo is invisible in the executed plan (connectedComponents
+    // localCheckpoints truncate lineage), so assert the artifact
+    // itself: one entry per (session, dir) after a run.
+    SparkEntry.queries("q106_incremental_cc")(spark, sf).count()
+    assert(graft.queries.DedupQueries.standingLabelsPeek(spark, sf).isDefined,
+      "q106 no longer memoizes the standing (non-delta) label table")
+  }
+
   test("q75: df and tf branches share ONE cached posting-list aggregate") {
     // r21: both aggregates derive from the cached (term, doc_id, source)
     // posting list — uncached, each branch re-ran scan+tokenize+explode.
