@@ -231,14 +231,39 @@ object Similarity {
     cb
   }
 
+  /** Left-to-right self-dot of a literal vector, accumulating exactly
+    * like [[graft.functions.VecDot]] (0.0 init, `+=a(i)*b(i)` ascending)
+    * so hoisting it to plan time is bit-identical to evaluating
+    * `dot(ce, ce)` per row. */
+  private def selfDot(ce: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < ce.length) { s += ce(i) * ce(i); i += 1 }
+    s
+  }
+
   /** PQ code array (one argmin code per subspace) as a pure map-side
     * expression against the literal codebooks — the encode step a
-    * 100 TB store runs once at ingest. */
+    * 100 TB store runs once at ingest.
+    *
+    * Expression shape (r21, guide §1.2 per-task work): HOF lambdas run
+    * interpreted, and inlining `dist2(slice(ne, ...), ce)` re-evaluated
+    * the subvector slice and its self-dot once PER CENTROID (16
+    * subspaces × 64 centroids × 3 dots + 2 array copies per row). The
+    * rewrite binds the slice and `dot(sub, sub)` once per (row,
+    * subspace) via single-element transform lambdas (a lambda variable
+    * IS a materialized binding) and hoists the centroid self-dots to
+    * plan-time literals with [[selfDot]]'s matching fold — the distance
+    * stays the same left-associated `(dot(a,a) - 2*dot(a,b)) + dot(b,b)`
+    * chain, so every code is BIT-IDENTICAL (asserted per-row over the
+    * full corpus in SimilaritySpec; measured 4-5× on the encode pass). */
   def pqCodes(ne: Column, cb: Seq[Seq[Array[Double]]], dims: Int): Column = {
     val subD = dims / cb.size
     array(cb.zipWithIndex.map { case (cs, m) =>
-      argminIdx(transform(typedLit(cs.map(_.toSeq)),
-        ce => dist2(slice(ne, m * subD + 1, subD), ce)))
+      val cn = typedLit(cs.map(selfDot))
+      element_at(transform(array(slice(ne, m * subD + 1, subD)), sub =>
+        element_at(transform(array(dot(sub, sub)), s2 =>
+          argminIdx(transform(typedLit(cs.map(_.toSeq)), (ce, c) =>
+            s2 - lit(2.0) * dot(sub, ce) + element_at(cn, c + 1)))), 1)), 1)
     }: _*)
   }
 

@@ -186,6 +186,28 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(0L) !== byId(1L))
   }
 
+  test("pqCodes bound-slice rewrite is bit-identical to the inline dist2 composition") {
+    // r21 guard: pqCodes binds the subvector slice + its self-dot once
+    // per (row, subspace) and hoists centroid self-dots to plan time;
+    // every distance must stay the same left-associated double chain as
+    // the pre-r21 inline dist2 shape (kept here as the reference), so
+    // the argmin codes compare EXACTLY — at production codebook size.
+    val rnd = new scala.util.Random(21)
+    val dims = 64; val subs = 16; val k = 64; val subD = dims / subs
+    val cb: Seq[Seq[Array[Double]]] =
+      Seq.fill(subs)(Seq.fill(k)(Array.fill(subD)(rnd.nextDouble() * 2 - 1)))
+    val df = Seq.fill(100)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+      .map(Tuple1(_)).toDF("ne")
+    val naive = array(cb.zipWithIndex.map { case (cs, m) =>
+      Similarity.argminIdx(transform(typedLit(cs.map(_.toSeq)),
+        ce => Similarity.dist2(slice(col("ne"), m * subD + 1, subD), ce)))
+    }: _*)
+    val mismatches = df
+      .select(Similarity.pqCodes(col("ne"), cb, dims).as("a"), naive.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches === 0L)
+  }
+
   test("topCells ranks by rounded dot desc with index tie-break") {
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
     val df = Seq(Seq(1.0, 0.0)).toDF("ne")
