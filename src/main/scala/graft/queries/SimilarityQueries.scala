@@ -353,18 +353,28 @@ object SimilarityQueries extends QueryPack {
   private def exactMeans(s: SparkSession): Boolean =
     s.conf.get("spark.graft.exactMeans", "true").toBoolean
 
-  /** Top-k per query over a candidate frame, cross-engine total order
-    * (rounded cosine desc, vec_id tie-break). */
-  private def topK(cand: DataFrame, k: Int): DataFrame = {
+  /** Top-k per query over PRE-SCORED (q_id, vec_id, cos) rows,
+    * cross-engine total order (rounded cosine desc, vec_id tie-break). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    cand.withColumn("cos", Similarity.dot(col("qe"), col("ne")))
-      .withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("vec_id"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** Top-k per query over a (q_id, qe, vec_id, ne) candidate frame.
+    * The cosine is computed MAP-SIDE while the vectors are in hand and
+    * the frame is projected to (q_id, vec_id, cos) before the window's
+    * exchange (r21, guide §2.3): the 2×64-double payloads never cross
+    * a shuffle — same rows, same ranking, 16-byte keys + one double
+    * instead of ~1 KB per row. */
+  private def topK(cand: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      cand.withColumn("cos", Similarity.dot(col("qe"), col("ne")))
+        .select(col("q_id"), col("vec_id"), col("cos")), k)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -747,11 +757,19 @@ object SimilarityQueries extends QueryPack {
             .withColumn("cells", Similarity.topCells(col("dots"), IvfProbes))
             .select(col("vec_id").as("q_id"), col("ne").as("qe"),
               explode(col("cells")).as("cell"))
+          // score map-side while the vectors are in hand, THEN dedupe
+          // and rank on the narrow (q_id, vec_id, cos) rows (r21, guide
+          // §2.3): multi-probe duplicates carry identical payloads, so
+          // their cosines are identical and the deduped set is exactly
+          // the pre-r21 distinct-then-score one — but neither the
+          // distinct nor the window exchange ships the 2×64-double
+          // payloads any more.
           val cand = idx.join(broadcast(probes), Seq("cell"))
             .filter(col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("qe"), col("vec_id"), col("ne"))
+            .withColumn("cos", Similarity.dot(col("qe"), col("ne")))
+            .select(col("q_id"), col("vec_id"), col("cos"))
             .distinct()
-          topK(cand, 3).withColumn("wave", col("q_id") % 2)
+          rankTopK(cand, 3).withColumn("wave", col("q_id") % 2)
             .write.mode("append").parquet(s"$tmp/out")
         }
         .trigger(Trigger.AvailableNow())
