@@ -70,25 +70,32 @@ object Bench {
     // Optional isolation filter (local fresh-JVM re-measurement of a
     // suspicious query per the verify protocol; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Each query keeps (best, first): `best` is the best-of-2 value the
+    // round totals have always been built from; `first` is run 1's
+    // wall-clock, which INCLUDES any per-snapshot artifact build (memo
+    // caches, CC label tables) that best-of-2 discards (VERDICT r21 #2:
+    // the cold cost must stay visible, additions-only).
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
         name -> (timed(name, fn) match {
           case Some(t) if t > 1.0 => timed(name, fn) match {
-            case Some(u) => math.min(t, u)
+            case Some(u) => (math.min(t, u), t)
             case None =>
               // The retry threw but run 1 measured fine: keep the valid
               // number and clear the failure flag (the query works; the
               // retry's wasted wall-clock stays visible in failed_sec).
-              failed -= name; t
+              failed -= name; (t, t)
           }
-          case Some(t) => t
-          case None => 0.0
+          case Some(t) => (t, t)
+          case None => (0.0, 0.0)
         })
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val firsts = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
     // the result lines in the merged stream. The driver keeps only a
     // fixed-size TAIL of stdout, so the FRONT of the stream is what gets
@@ -130,7 +137,10 @@ object Bench {
         if (failedSec > 0) s""","failed_sec":${f3(failedSec)}""" else ""
       list + sec
     }
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filterField$failedField$calibField}""")
+    // `first_secs` rides only on the big line (the compact survivor line
+    // stays byte-identical to prior rounds so driver-to-driver total
+    // comparison is unaffected). first == best for single-run queries.
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"first_secs":$firsts,"sf":"$sfDir"$filterField$failedField$calibField}""")
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField$calibField}""")
   }
 }

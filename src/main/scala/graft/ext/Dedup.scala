@@ -491,10 +491,19 @@ object Dedup {
   private def shingleHashFrame(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, cache: Boolean): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // hs is SORTED (r22, guide §1.2 per-task work): the verify kernel
+    // (IntersectSizeLong.mergeCount) sorts both arrays per PAIR — one
+    // doc's array was re-sorted once per candidate pair it appears in
+    // (sf0.1 q37 shape: ~434k pair-side sorts for ~15k docs). Sorting
+    // once per doc here makes the per-pair sort a near-linear
+    // presorted-input pass. Every consumer is order-independent — the
+    // MinHash signature is a min over elements, jaccard is a set-size
+    // measure, band hashes derive from the signature — so the pair set,
+    // jacc values and signatures are bit-identical (spec-pinned).
     val sh = docs.repartition(par)
       .withColumn("shs", distinctShingles(col(textCol), shingleN))
-      .withColumn("hs", array_distinct(
-        transform(col("shs"), s => Hashing.md5Long(s))))
+      .withColumn("hs", array_sort(array_distinct(
+        transform(col("shs"), s => Hashing.md5Long(s)))))
       .select(col(idCol).as("id"), col("hs"))
     if (cache) sh.cache() else sh
   }

@@ -70,7 +70,12 @@ object CurationQueries extends QueryPack {
 
   private def buildFunnelFrames(s: SparkSession, d: String)
       : (Seq[DataFrame], (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)) = {
+    // r22 (guide §2.3, VERDICT r21 #7): project to the three columns the
+    // funnel actually reads BEFORE the round-robin exchange and the
+    // cache — the old frame shipped and pinned lang/n_chars that no
+    // consumer (q61 counts, q72 split/source/tokens) ever touches.
     val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("predicted", TextAnalysis.langId(col("text")))
       .withColumn("qbp",

@@ -239,7 +239,13 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"),
             TextAnalysis.shingleHashes(col("text"), 3).as("h"))
           .cache())
-      val sh = hsh.select(col("doc_id"), array_distinct(col("h")).as("hs"))
+      // sorted once per doc (r22): the jaccard kernel re-sorted both
+      // arrays per candidate pair — presorting turns ~434k pair-side
+      // sorts into 15k doc-side ones (isolated noop-sink stage: the
+      // jacc stage 2.35–2.53 → 1.26–1.50 s; jaccard is a set measure,
+      // so the output is bit-identical)
+      val sh = hsh.select(col("doc_id"),
+        array_sort(array_distinct(col("h"))).as("hs"))
       val fps = hsh.select(col("doc_id"),
         explode(TextAnalysis.fingerprintsFromHashes(col("h"), 4)).as("fp"))
       val cand = Dedup.pairsFromBuckets(fps, Seq("fp"), "doc_id")
@@ -275,8 +281,11 @@ object DedupQueries extends QueryPack {
       val sh = scratchCache.get((s, d, "q76-sh"))(
         Tables.documents(s, d).repartition(par)
           .withColumn("shs", Dedup.distinctShingles(col("text"), 3))
-          .withColumn("hs", array_distinct(
-            transform(col("shs"), x => Hashing.md5Long(x))))
+          // sorted for the same per-pair-sort reason as q37/
+          // shingleHashFrame (r22); sig (min over elements) and jacc
+          // (set measure) are order-independent
+          .withColumn("hs", array_sort(array_distinct(
+            transform(col("shs"), x => Hashing.md5Long(x)))))
           .select(col("doc_id").as("id"), col("hs"))
           .cache())
       val sig = sh.filter(size(col("hs")) > 0)

@@ -769,8 +769,17 @@ object SimilarityQueries extends QueryPack {
             .withColumn("cos", Similarity.dot(col("qe"), col("ne")))
             .select(col("q_id"), col("vec_id"), col("cos"))
             .distinct()
-          rankTopK(cand, 3).withColumn("wave", col("q_id") % 2)
-            .write.mode("append").parquet(s"$tmp/out")
+          val ranked = rankTopK(cand, 3).withColumn("wave", col("q_id") % 2)
+          // Diagnostic seam (VERDICT r21 #5): foreachBatch plans never
+          // reach PlanDump (they exist only per batch), so the evidence
+          // that the distinct/rank exchanges carry (q_id, vec_id, cos)
+          // and not the 2×64-double payloads is dumped here, env-gated,
+          // and committed as plans/r22/q111_microbatch_after.txt.
+          if (sys.env.contains("SPARK_GRAFT_DUMP_BATCH_PLANS"))
+            println("[batchplan q111_stream_ann_search]\n" +
+              ranked.queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          ranked.write.mode("append").parquet(s"$tmp/out")
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/chk")

@@ -514,8 +514,15 @@ object StreamingQueries extends QueryPack {
           val definiteNew = withCk.filter(!hit)
           val confirmedNew = withCk.filter(hit)
             .join(corpusKeys, Seq("ck"), "left_anti")
-          nDefinite += definiteNew.count()
-          nMaybe += withCk.filter(hit).count()
+          // r22 (guide §1.2, VERDICT r21 #6): the definite/maybe split
+          // sizes were TWO count actions, each re-running the JSON read +
+          // md5 + bloom probe lineage; one aggregate pass carries both
+          // (count() counts non-null, so empty batches report 0/0).
+          val split = withCk.agg(
+            count(when(!hit, lit(1))).as("n_def"),
+            count(when(hit, lit(1))).as("n_maybe")).head()
+          nDefinite += split.getLong(0)
+          nMaybe += split.getLong(1)
           definiteNew.unionByName(confirmedNew)
             .select(col("doc_id"), col("source"))
             .write.mode("append").parquet(s"$tmp/admitted")

@@ -29,6 +29,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("r22 presorted hs: jaccard and MinHash signature are order-independent (bit-identical)") {
+    // r22 sorts the shingle-hash arrays once per doc so the verify
+    // kernel's per-pair Arrays.sort runs on presorted input. This pins
+    // the equivalence the optimization rests on: jaccard (set measure)
+    // and the MinHash signature (min over elements) are invariant under
+    // any permutation of the input arrays.
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(100) {
+      val a = Seq.fill(30)(rnd.nextLong()).distinct
+      (a, rnd.shuffle(a.drop(rnd.nextInt(10))))
+    }
+    val df = rows.toDF("x", "y")
+    val unsorted = df.select(Dedup.jaccard(col("x"), col("y"))).collect()
+      .map(_.getDouble(0))
+    val sorted = df.select(Dedup.jaccard(
+      array_sort(col("x")), array_sort(col("y")))).collect()
+      .map(_.getDouble(0))
+    assert(unsorted.toSeq === sorted.toSeq)
+    val sigU = df.select(Dedup.minhashSignature(col("x"), 16)).collect()
+      .map(_.getSeq[Long](0))
+    val sigS = df.select(Dedup.minhashSignature(array_sort(col("x")), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigU.toSeq === sigS.toSeq)
+  }
+
   test("jaccard: exact formula on distinct arrays") {
     val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))
