@@ -93,7 +93,13 @@ object Bench {
       }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val firsts = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
+    // Only queries where a SECOND run happened (first != best) get a
+    // first_secs entry — first == best for every single-run query, so
+    // omitting them loses nothing and keeps the big line well inside
+    // the driver's stdout-tail capture window (the r20 truncation cut
+    // a ~4.5 KB line; a full 109-entry duplicate map would double it).
+    val firsts = results.collect { case (k, (v, w)) if w != v =>
+      s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Stop Spark BEFORE printing so its shutdown log noise lands ahead of
@@ -139,7 +145,7 @@ object Bench {
     }
     // `first_secs` rides only on the big line (the compact survivor line
     // stays byte-identical to prior rounds so driver-to-driver total
-    // comparison is unaffected). first == best for single-run queries.
+    // comparison is unaffected); entries only where first != best.
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"first_secs":$firsts,"sf":"$sfDir"$filterField$failedField$calibField}""")
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","sf":"$sfDir"$filterField$failedField$calibField}""")
   }
